@@ -1,0 +1,46 @@
+"""Dense trajectory evaluation: batched piecewise-polynomial sampling.
+
+Vectorized form of RBPPublisher::update_traj / update_quad_state
+(rbp_publisher.hpp:169-235, 670-683): segment lookup by knot time, then
+position/velocity/acceleration rows of the local-time Vandermonde.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.partial(jax.jit, static_argnames=("n", "derivatives"))
+def sample_trajectories(coef: jnp.ndarray, T: jnp.ndarray, t: jnp.ndarray,
+                        *, n: int, derivatives: int = 3) -> jnp.ndarray:
+    """coef [N, M, n+1, 3], T [M+1], t [S] -> states [N, S, derivatives, 3].
+
+    derivative 0 = position, 1 = velocity, 2 = acceleration, ...
+    Column j of coef multiplies tau^(n-j) with tau local to the segment.
+    """
+    M = coef.shape[1]
+    idx = jnp.clip(jnp.searchsorted(T, t, side="right") - 1, 0, M - 1)  # [S]
+    tau = t - T[idx]  # [S]
+
+    j = jnp.arange(n + 1)
+    rows = []
+    for r in range(derivatives):
+        power = jnp.maximum(n - j - r, 0)
+        fall = jnp.ones(n + 1, coef.dtype)
+        for k in range(r):
+            fall = fall * jnp.maximum(n - j - k, 0)
+        basis = fall * jnp.where(n - j - r >= 0,
+                                 tau[:, None] ** power, 0.0)  # [S, n+1]
+        rows.append(basis)
+    vand = jnp.stack(rows, axis=1)  # [S, R, n+1]
+
+    segs = coef[:, idx]  # [N, S, n+1, 3]
+    return jnp.einsum("srj,nsjk->nsrk", vand, segs)
+
+
+def sample_times(T: np.ndarray, step: float = 0.1) -> np.ndarray:
+    """Reference playback sampling grid (rbp_publisher.hpp:670-683)."""
+    return np.arange(0.0, float(T[-1]) + 1e-9, step)

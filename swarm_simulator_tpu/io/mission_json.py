@@ -1,0 +1,76 @@
+"""Mission JSON loader — same schema as the reference (mission.hpp:22-88).
+
+Schema:
+  {"quadrotors": {"<name>": {"max_vel": [..], "max_acc": [..], ...}, ...},
+   "agents": [{"name": ..., "start": [...], "goal": [...],
+               "radius": r, "speed": s}, ...]}
+
+start/goal may have 3..9 entries (pos, vel, acc); missing entries are zero.
+"""
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import numpy as np
+
+from ..core.types import Mission
+
+
+def load_mission(path: str | Path) -> Mission:
+    with open(path) as f:
+        doc = json.load(f)
+    return mission_from_dict(doc)
+
+
+def mission_from_dict(doc: dict) -> Mission:
+    agents = doc["agents"]
+    quadrotors = doc.get("quadrotors", {})
+    qn = len(agents)
+
+    start = np.zeros((qn, 9), dtype=np.float64)
+    goal = np.zeros((qn, 9), dtype=np.float64)
+    radius = np.zeros(qn, dtype=np.float64)
+    speed = np.zeros(qn, dtype=np.float64)
+    max_vel = np.zeros((qn, 3), dtype=np.float64)
+    max_acc = np.zeros((qn, 3), dtype=np.float64)
+    names = []
+
+    for qi, agent in enumerate(agents):
+        name = agent["name"]
+        names.append(name)
+        s = np.asarray(agent["start"], dtype=np.float64)
+        g = np.asarray(agent["goal"], dtype=np.float64)
+        start[qi, : len(s)] = s
+        goal[qi, : len(g)] = g
+        radius[qi] = agent["radius"]
+        speed[qi] = agent["speed"]
+        quad = quadrotors[name]
+        mv = np.asarray(quad["max_vel"], dtype=np.float64)
+        ma = np.asarray(quad["max_acc"], dtype=np.float64)
+        max_vel[qi, : len(mv)] = mv
+        max_acc[qi, : len(ma)] = ma
+
+    return Mission(start=start, goal=goal, radius=radius, speed=speed,
+                   max_vel=max_vel, max_acc=max_acc, names=names)
+
+
+def swap_mission(n_agents: int = 2, *, z: float = 0.5, span: float = 1.0,
+                 radius: float = 0.25, speed: float = 1.0,
+                 max_vel: float = 1.7, max_acc: float = 6.2) -> Mission:
+    """Synthetic antipodal-swap mission (like missions/mission_2agents_25.json):
+    agents on a circle of radius ``span`` swap with their antipodes."""
+    angles = np.linspace(0.0, 2 * np.pi, n_agents, endpoint=False)
+    start = np.zeros((n_agents, 9))
+    goal = np.zeros((n_agents, 9))
+    start[:, 0] = span * np.cos(angles)
+    start[:, 1] = span * np.sin(angles)
+    start[:, 2] = z
+    goal[:, :3] = start[:, :3] * np.array([-1.0, -1.0, 1.0])
+    return Mission(
+        start=start, goal=goal,
+        radius=np.full(n_agents, radius), speed=np.full(n_agents, speed),
+        max_vel=np.full((n_agents, 3), max_vel),
+        max_acc=np.full((n_agents, 3), max_acc),
+        names=["default"] * n_agents,
+    )

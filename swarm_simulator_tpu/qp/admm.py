@@ -1,0 +1,226 @@
+"""Batched OSQP-style ADMM solver for the Bernstein trajectory QP.
+
+Replaces the reference's per-batch CPLEX solves (solveQP,
+rbp_planner.hpp:111-206) — the 95%+ runtime hot spot — with a first-order
+operator-splitting method whose every step is a fused XLA computation:
+
+  x+ = K^-1 (sigma x - q + A^T (rho.z - y))        (dense MXU matmul)
+  z+ = clip(alpha Ax+ + (1-alpha) z + y/rho, l, u) (VPU)
+  y+ = y + rho (alpha Ax+ + (1-alpha) z - z+)      (VPU)
+
+where K = P + sigma I + A^T diag(rho) A is formed once per problem from the
+structured blocks and inverted with a single Cholesky — O((3*B*M*(n+1))^3)
+FLOPs that the MXU eats for breakfast — after which every ADMM iteration is
+one dense matmul plus elementwise work.  A and A^T are never materialized:
+they are einsums over the equality/box/pair blocks (see qp/assemble.py).
+
+The solver is pure-functional and vmap/pjit-compatible: extra leading axes
+on QPData batch whole problems (scenarios, Jacobi agent-batches).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .assemble import BIG, QPData
+
+
+@dataclass(frozen=True)
+class ADMMSettings:
+    rho: float = 0.1
+    rho_eq_scale: float = 1e3  # equality rows get rho * this (OSQP-style)
+    sigma: float = 1e-6
+    alpha: float = 1.6
+    max_iter: int = 2000
+    eps_abs: float = 1e-4
+    eps_rel: float = 1e-4
+
+
+class Constr(NamedTuple):
+    """A value per constraint row, grouped by block."""
+    eq: jnp.ndarray  # [B, 3, Re]
+    box: jnp.ndarray  # [B, 3, D]
+    pair: jnp.ndarray  # [P, D]
+
+
+class SolveInfo(NamedTuple):
+    iters: jnp.ndarray
+    r_prim: jnp.ndarray
+    r_dual: jnp.ndarray
+    obj: jnp.ndarray
+
+
+def _pair_nd(data: QPData) -> jnp.ndarray:
+    """[P, 3, D] dense per-control-point normals (n repeated n+1 times)."""
+    P, M, _ = data.pair_n.shape
+    npp = data.lb.shape[-1] // M
+    n_d = jnp.repeat(data.pair_n, npp, axis=1)  # [P, D, 3]
+    return n_d.transpose(0, 2, 1) * data.pair_mask[:, None, None]
+
+
+def A_matvec(data: QPData, x: jnp.ndarray, n_d: jnp.ndarray) -> Constr:
+    eq = jnp.einsum("rd,bkd->bkr", data.Aeq, x)
+    cj = (data.pair_bj >= 0).astype(x.dtype)
+    ci = (data.pair_bi >= 0).astype(x.dtype)
+    xj = x[jnp.clip(data.pair_bj, 0, None)]  # [P, 3, D]
+    xi = x[jnp.clip(data.pair_bi, 0, None)]
+    diff = cj[:, None, None] * xj - ci[:, None, None] * xi
+    pair = jnp.sum(n_d * diff, axis=1)  # [P, D]
+    return Constr(eq=eq, box=x, pair=pair)
+
+
+def AT_matvec(data: QPData, y: Constr, n_d: jnp.ndarray) -> jnp.ndarray:
+    out = jnp.einsum("rd,bkr->bkd", data.Aeq, y.eq)
+    out = out + y.box
+    cj = (data.pair_bj >= 0).astype(out.dtype)
+    ci = (data.pair_bi >= 0).astype(out.dtype)
+    contrib = n_d * y.pair[:, None, :]  # [P, 3, D]
+    out = out.at[jnp.clip(data.pair_bj, 0, None)].add(cj[:, None, None] * contrib)
+    out = out.at[jnp.clip(data.pair_bi, 0, None)].add(-ci[:, None, None] * contrib)
+    return out
+
+
+def P_matvec(data: QPData, x: jnp.ndarray) -> jnp.ndarray:
+    B, K, D = x.shape
+    M, npp, _ = data.Qseg.shape
+    xs = x.reshape(B, K, M, npp)
+    return jnp.einsum("mij,bkmj->bkmi", data.Qseg, xs).reshape(B, K, D)
+
+
+def _bounds(data: QPData) -> tuple[Constr, Constr]:
+    big = jnp.asarray(BIG, data.lb.dtype)
+    l = Constr(eq=data.deq, box=data.lb, pair=data.pair_rhs)
+    u = Constr(eq=data.deq, box=data.ub,
+               pair=jnp.full_like(data.pair_rhs, big))
+    return l, u
+
+
+def _rho_vec(data: QPData, s: ADMMSettings) -> Constr:
+    dt = data.lb.dtype
+    return Constr(
+        eq=jnp.full_like(data.deq, s.rho * s.rho_eq_scale),
+        box=jnp.full_like(data.lb, s.rho),
+        pair=jnp.full_like(data.pair_rhs, s.rho),
+    )
+
+
+def build_kkt_inverse(data: QPData, s: ADMMSettings) -> jnp.ndarray:
+    """K^-1 for K = P + sigma I + A^T diag(rho) A, exploiting structure."""
+    M, npp, _ = data.Qseg.shape
+    D = M * npp
+    B = data.lb.shape[0]
+    B3 = 3 * B
+    dt = data.lb.dtype
+    rho_eq = s.rho * s.rho_eq_scale
+
+    # per-(agent,axis) base block [D, D]
+    base = jnp.zeros((D, D), dtype=dt)
+    seg_ids = jnp.arange(M)
+    # blockdiag(Qseg)
+    base = base.reshape(M, npp, M, npp).at[seg_ids, :, seg_ids, :].add(
+        data.Qseg).reshape(D, D)
+    base = base + (s.sigma + s.rho) * jnp.eye(D, dtype=dt)
+    base = base + rho_eq * data.Aeq.T @ data.Aeq
+
+    # pair coupling: for pair p, row d: value c_b n[p, m(d), k] on var (b,k,d)
+    cj = (data.pair_bj >= 0).astype(dt) * data.pair_mask
+    ci = (data.pair_bi >= 0).astype(dt) * data.pair_mask
+    P = data.pair_n.shape[0]
+    C = jnp.zeros((P, B), dtype=dt)
+    C = C.at[jnp.arange(P), jnp.clip(data.pair_bj, 0, None)].add(cj)
+    C = C.at[jnp.arange(P), jnp.clip(data.pair_bi, 0, None)].add(-ci)
+    # coupling[m, (b,k), (b2,k2)] = rho * sum_p C[p,b] n[p,m,k] C[p,b2] n[p,m,k2]
+    coupling = s.rho * jnp.einsum(
+        "pb,pmk,pc,pml->mbkcl", C, data.pair_n, C, data.pair_n
+    ).reshape(M, B3, B3)
+    coupling_d = jnp.repeat(coupling, npp, axis=0)  # [D, B3, B3]
+
+    K = jnp.einsum("ab,de->adbe", jnp.eye(B3, dtype=dt), base)  # [B3,D,B3,D]
+    d_ids = jnp.arange(D)
+    K = K.at[:, d_ids, :, d_ids].add(coupling_d)
+    nx = B3 * D
+    K = K.reshape(nx, nx)
+
+    cho = jax.scipy.linalg.cho_factor(K)
+    return jax.scipy.linalg.cho_solve(cho, jnp.eye(nx, dtype=dt))
+
+
+def solve_single(data: QPData, s: ADMMSettings) -> tuple[jnp.ndarray, SolveInfo]:
+    """Solve one QP. Use jax.vmap(solve_single, ...) for batches."""
+    B, K3, D = data.lb.shape
+    shape = (B, K3, D)
+    nx = B * K3 * D
+    dt = data.lb.dtype
+
+    n_d = _pair_nd(data)
+    Kinv = build_kkt_inverse(data, s)
+    l, u = _bounds(data)
+    rho = _rho_vec(data, s)
+
+    tmap = jax.tree.map
+    x = data.x0
+    z = A_matvec(data, x, n_d)
+    z = tmap(jnp.clip, z, l, u)
+    y = tmap(jnp.zeros_like, z)
+
+    eps_abs = jnp.asarray(s.eps_abs, dt)
+    eps_rel = jnp.asarray(s.eps_rel, dt)
+    alpha = jnp.asarray(s.alpha, dt)
+    sigma = jnp.asarray(s.sigma, dt)
+
+    def tmax(tree) -> jnp.ndarray:
+        vals = [jnp.max(jnp.abs(v)) for v in tree if v.size > 0]
+        return jnp.max(jnp.array(vals)) if vals else jnp.asarray(0.0, dt)
+
+    def body(state):
+        x, z, y, it, _ = state
+        rhs = sigma * x + AT_matvec(
+            data, tmap(lambda r, zz, yy: r * zz - yy, rho, z, y), n_d)
+        x_t = (Kinv @ rhs.reshape(nx)).reshape(shape)
+        ax_t = A_matvec(data, x_t, n_d)
+        x_new = alpha * x_t + (1 - alpha) * x
+        v = tmap(lambda a_, zz, yy, r: alpha * a_ + (1 - alpha) * zz + yy / r,
+                 ax_t, z, y, rho)
+        z_new = tmap(jnp.clip, v, l, u)
+        y_new = tmap(lambda vv, zz, r: r * (vv - zz), v, z_new, rho)
+
+        # scaled residuals (OSQP sec. 3.4)
+        ax = A_matvec(data, x_new, n_d)
+        px = P_matvec(data, x_new)
+        aty = AT_matvec(data, y_new, n_d)
+        r_prim = tmax(tmap(lambda a_, zz: a_ - zz, ax, z_new))
+        r_dual = tmax([px + aty])
+        eps_prim = eps_abs + eps_rel * jnp.maximum(tmax(ax), tmax(z_new))
+        eps_dual = eps_abs + eps_rel * jnp.maximum(tmax([px]), tmax([aty]))
+        done = (r_prim <= eps_prim) & (r_dual <= eps_dual)
+        return x_new, z_new, y_new, it + 1, done
+
+    def cond(state):
+        _, _, _, it, done = state
+        return (it < s.max_iter) & ~done
+
+    state = (x, z, y, jnp.asarray(0), jnp.asarray(False))
+    x, z, y, it, _ = jax.lax.while_loop(cond, body, state)
+
+    # final residuals for reporting
+    ax = A_matvec(data, x, n_d)
+    r_prim = tmax(tmap(lambda a_, zz: a_ - zz, ax, z))
+    r_dual = tmax([P_matvec(data, x) + AT_matvec(data, y, n_d)])
+
+    obj = 0.5 * jnp.vdot(x, P_matvec(data, x))
+    return x, SolveInfo(iters=it, r_prim=r_prim, r_dual=r_dual, obj=obj)
+
+
+@partial(jax.jit, static_argnames=("settings",))
+def solve_qp(data: QPData, settings: ADMMSettings = ADMMSettings()):
+    return solve_single(data, settings)
+
+
+@partial(jax.jit, static_argnames=("settings",))
+def solve_qp_batched(data: QPData, settings: ADMMSettings = ADMMSettings()):
+    """Solve a stack of QPs: every QPData leaf has a leading batch axis."""
+    return jax.vmap(lambda d: solve_single(d, settings))(data)

@@ -1,0 +1,189 @@
+"""QP assembly: Bernstein trajectory optimization as a structured QP.
+
+Builds the same mathematical program as RBPPlanner::buildConstMtx +
+populatebyrow (rbp_planner.hpp:100-109, 551-688):
+
+  minimize    sum_segments ctrl^T (Q_base dt^(1-2phi)) ctrl        (jerk^2)
+  subject to  Aeq x = deq      start/goal state pins + C^phi continuity
+              lb <= x <= ub    per-control-point SFC box bounds
+              n_p . (x_j - x_i) >= r_i + r_j   per pair, per control point
+
+but keeps every block structured (no monolithic sparse matrix): the ADMM
+solver applies A and A^T as einsums/gathers, which is what makes the whole
+solve a single fused XLA computation.
+
+Variable layout: x[B, 3, D] with D = M*(n+1), d = m*(n+1)+i.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import bernstein
+from ..core.types import Mission, Param, PlanResult
+
+BIG = 1e8  # reference uses 1e7 placeholders (rbp_planner.hpp:480-481)
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class QPData:
+    """One batch QP. All leaves may carry extra leading (scenario) axes."""
+
+    Qseg: jnp.ndarray  # [M, n+1, n+1] per-segment cost blocks
+    Aeq: jnp.ndarray  # [Re, D]
+    deq: jnp.ndarray  # [B, 3, Re]
+    lb: jnp.ndarray  # [B, 3, D]
+    ub: jnp.ndarray  # [B, 3, D]
+    pair_bi: jnp.ndarray  # [P] int32, batch-local index of qi (-1 = fixed)
+    pair_bj: jnp.ndarray  # [P] int32, batch-local index of qj (-1 = fixed)
+    pair_n: jnp.ndarray  # [P, M, 3] plane normals
+    pair_rhs: jnp.ndarray  # [P, D] rhs (rsum, dummy terms folded in)
+    pair_mask: jnp.ndarray  # [P] float 0/1
+    x0: jnp.ndarray  # [B, 3, D] warm start (dummy control points)
+
+
+def build_aeq(T: np.ndarray, n: int, phi: int) -> np.ndarray:
+    """Per-agent equality matrix [ (M+1)*phi, M*(n+1) ].
+
+    Rows 0..phi-1: start derivatives; phi..2phi-1: goal derivatives;
+    then phi rows per interior knot for C^phi continuity
+    (build_Aeq_base, rbp_planner.hpp:353-405).
+    """
+    M = len(T) - 1
+    A0, AT = bernstein.endpoint_derivative_matrices(n)
+    D = M * (n + 1)
+    Re = (M + 1) * phi
+    Aeq = np.zeros((Re, D), dtype=np.float64)
+    dt = np.diff(T)
+
+    nn = 1.0
+    for i in range(phi):
+        Aeq[i, 0:n + 1] = dt[0] ** (-i) * nn * A0[i]
+        Aeq[phi + i, (n + 1) * (M - 1):] = dt[-1] ** (-i) * nn * AT[i]
+        nn *= (n - i)
+
+    for m in range(1, M):
+        nn = 1.0
+        for j in range(phi):
+            row = 2 * phi + phi * (m - 1) + j
+            Aeq[row, (n + 1) * (m - 1):(n + 1) * m] = dt[m - 1] ** (-j) * nn * AT[j]
+            Aeq[row, (n + 1) * m:(n + 1) * (m + 1)] = -dt[m] ** (-j) * nn * A0[j]
+            nn *= (n - j)
+    return Aeq
+
+
+def build_deq(mission: Mission, agents: np.ndarray, M: int, phi: int) -> np.ndarray:
+    """[B, 3, (M+1)*phi] rhs: start/goal pos-vel-acc pins, zeros for
+    continuity rows (build_deq, rbp_planner.hpp:408-432)."""
+    B = len(agents)
+    Re = (M + 1) * phi
+    deq = np.zeros((B, 3, Re), dtype=np.float64)
+    for b, qi in enumerate(agents):
+        for k in range(3):
+            for i in range(min(phi, 3)):
+                deq[b, k, i] = mission.start[qi, k + 3 * i]
+                deq[b, k, phi + i] = mission.goal[qi, k + 3 * i]
+    return deq
+
+
+def build_dummy(init_traj: np.ndarray, n: int) -> np.ndarray:
+    """Warm-start control points from the discrete path: first half of each
+    segment's control points at the segment start waypoint, second half at
+    the end waypoint (build_dummy, rbp_planner.hpp:513-549).
+
+    init_traj [N, M+1, 3] -> dummy [N, M, n+1, 3].
+    """
+    N, L, _ = init_traj.shape
+    M = L - 1
+    dummy = np.zeros((N, M, n + 1, 3), dtype=np.float64)
+    half = (n + 1) // 2
+    dummy[:, :, :half, :] = init_traj[:, :M, None, :]
+    dummy[:, :, half:, :] = init_traj[:, 1:, None, :]
+    return dummy
+
+
+def assemble_batch(
+    plan: PlanResult,
+    mission: Mission,
+    param: Param,
+    batch_agents: np.ndarray,
+    dummy: np.ndarray,  # [N, M, n+1, 3]
+    pad_pairs: int | None = None,
+) -> QPData:
+    """Build the QPData for one (sequential) batch of agents.
+
+    Pairs with exactly one batch member enter as one-sided constraints
+    against the fixed agent's ``dummy`` control points
+    (populatebyrow, rbp_planner.hpp:638-684).
+    """
+    n, phi = param.n, param.phi
+    T = np.asarray(plan.T)
+    M = len(T) - 1
+    D = M * (n + 1)
+    dt = np.diff(T)
+    batch_agents = np.asarray(batch_agents)
+    B = len(batch_agents)
+    local = {int(q): b for b, q in enumerate(batch_agents)}
+
+    Q_base = bernstein.derivative_cost_matrix(n, phi)
+    Qseg = Q_base[None, :, :] * (dt ** (1 - 2 * phi))[:, None, None]
+
+    Aeq = build_aeq(T, n, phi)
+    deq = build_deq(mission, batch_agents, M, phi)
+
+    # box bounds per control point (convex hull property)
+    boxes = plan.seg_boxes[batch_agents]  # [B, M, 6]
+    lb = np.broadcast_to(boxes[:, :, None, 0:3], (B, M, n + 1, 3))
+    ub = np.broadcast_to(boxes[:, :, None, 3:6], (B, M, n + 1, 3))
+    lb = lb.reshape(B, D, 3).transpose(0, 2, 1).copy()  # [B, 3, D]
+    ub = ub.reshape(B, D, 3).transpose(0, 2, 1).copy()
+
+    # pair rows: any pair with at least one batch member
+    rows_bi, rows_bj, rows_n, rows_rhs = [], [], [], []
+    radius = mission.radius
+    for p, (qi, qj) in enumerate(np.asarray(plan.pair_idx)):
+        qi, qj = int(qi), int(qj)
+        bi = local.get(qi, -1)
+        bj = local.get(qj, -1)
+        if bi < 0 and bj < 0:
+            continue
+        npm = plan.pair_normals[p]  # [M, 3]
+        rsum = float(radius[qi] + radius[qj])
+        rhs = np.full((M, n + 1), rsum, dtype=np.float64)
+        if bj < 0:  # qj fixed: n.(dummy_j - x_i) >= rsum
+            rhs -= np.einsum("mk,mik->mi", npm, dummy[qj])
+        if bi < 0:  # qi fixed: n.(x_j - dummy_i) >= rsum
+            rhs += np.einsum("mk,mik->mi", npm, dummy[qi])
+        rows_bi.append(bi)
+        rows_bj.append(bj)
+        rows_n.append(npm)
+        rows_rhs.append(rhs.reshape(D))
+
+    P = len(rows_bi)
+    P_pad = pad_pairs if pad_pairs is not None else P
+    pair_bi = np.full(P_pad, -1, dtype=np.int32)
+    pair_bj = np.full(P_pad, -1, dtype=np.int32)
+    pair_n = np.zeros((P_pad, M, 3), dtype=np.float64)
+    pair_rhs = np.full((P_pad, D), -BIG, dtype=np.float64)
+    pair_mask = np.zeros(P_pad, dtype=np.float64)
+    if P:
+        pair_bi[:P] = rows_bi
+        pair_bj[:P] = rows_bj
+        pair_n[:P] = rows_n
+        pair_rhs[:P] = rows_rhs
+        pair_mask[:P] = 1.0
+
+    x0 = dummy[batch_agents].reshape(B, D, 3).transpose(0, 2, 1).copy()
+
+    dtype = jnp.float64 if param.solver_dtype == "float64" else jnp.float32
+    f = lambda a: jnp.asarray(a, dtype=dtype)
+    return QPData(
+        Qseg=f(Qseg), Aeq=f(Aeq), deq=f(deq), lb=f(lb), ub=f(ub),
+        pair_bi=jnp.asarray(pair_bi), pair_bj=jnp.asarray(pair_bj),
+        pair_n=f(pair_n), pair_rhs=f(pair_rhs), pair_mask=f(pair_mask),
+        x0=f(x0),
+    )

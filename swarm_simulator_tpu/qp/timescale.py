@@ -1,0 +1,145 @@
+"""Post-solve time scaling to restore dynamic feasibility.
+
+Vectorized form of RBPPlanner::timeScale (rbp_planner.hpp:209-266): find
+the velocity/acceleration extrema of every segment polynomial, grow a
+global time_scale by factors of 1.1 until every axis obeys max_vel/max_acc,
+then rescale coefficients and knot times.
+
+Extrema are found from *all* real roots of the relevant derivative
+polynomial (batched companion-matrix eigenvalues).  Note: the reference's
+roots_derivative (rbp_planner.hpp:746-752) inspects only the first ``i``
+eigenvalues — we deliberately check every root, which can only make the
+result more conservative (never less safe).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+SCALE_UPDATE_RATE = 1.1
+
+
+def _derivative_coeffs(coef: np.ndarray, r: int, n: int) -> np.ndarray:
+    """r-th derivative coefficients, descending powers.
+
+    coef [..., n+1] with column j = coefficient of t^(n-j).
+    Returns [..., n+1-r] with column j = coefficient of t^(n-r-j).
+    """
+    j = np.arange(n + 1)
+    powers = n - j  # power of each column
+    fall = np.ones(n + 1)
+    for k in range(r):
+        fall = fall * np.maximum(powers - k, 0)
+    der = coef * fall
+    return der[..., : n + 1 - r] if r > 0 else der
+
+
+def _real_roots_batched(c: np.ndarray) -> np.ndarray:
+    """Real roots of polynomials c[..., K+1] (descending powers), NaN-padded.
+
+    Leading zero coefficients are handled by companion-matrix construction
+    on the trimmed polynomial, batched via masking.
+    """
+    *batch, K1 = c.shape
+    K = K1 - 1
+    flat = c.reshape(-1, K1)
+    roots = np.full((flat.shape[0], K), np.nan)
+    for idx in range(flat.shape[0]):
+        p = flat[idx]
+        nz = np.nonzero(np.abs(p) > 0)[0]
+        if len(nz) == 0 or nz[0] == K:
+            continue
+        p = p[nz[0]:]
+        r = np.roots(p)
+        rr = r[np.abs(r.imag) == 0].real
+        roots[idx, : len(rr)] = rr
+    return roots.reshape(*batch, K)
+
+
+def _max_abs_poly(c: np.ndarray, ts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """max_t |poly(t)| over candidate times ts [..., C] (NaN = skip).
+
+    Returns (max values, argmax times)."""
+    K = c.shape[-1] - 1
+    powers = np.arange(K, -1, -1)
+    tval = np.where(np.isnan(ts), 0.0, ts)[..., None]  # [..., C, 1]
+    vals = np.abs(np.sum(c[..., None, :] * tval ** powers, axis=-1))
+    vals = np.where(np.isnan(ts), -np.inf, vals)
+    imax = np.argmax(vals, axis=-1)
+    vmax = np.take_along_axis(vals, imax[..., None], axis=-1)[..., 0]
+    tmax = np.take_along_axis(np.where(np.isnan(ts), 0.0, ts), imax[..., None],
+                              axis=-1)[..., 0]
+    return vmax, tmax
+
+
+def _grow_scale(coef_d: np.ndarray, t_max: np.ndarray, v_max: np.ndarray,
+                limit: np.ndarray, n: int, max_steps: int = 500) -> np.ndarray:
+    """Vectorized 1.1-growth loop (scale_to_max_vel, rbp_planner.hpp:782-791).
+
+    coef_d [..., K+1] derivative coefficients (descending, t^(K)..t^0) whose
+    columns came from original powers p_j = n - j; under t -> t/ts each
+    column scales by ts^-(n-j)."""
+    K = coef_d.shape[-1] - 1
+    j = np.arange(K + 1)
+    orig_pow = n - j
+    scale = np.ones(v_max.shape)
+    active = v_max > limit
+    steps = 0
+    while np.any(active) and steps < max_steps:
+        scale = np.where(active, scale * SCALE_UPDATE_RATE, scale)
+        tp = t_max[..., None] ** (K - j)
+        vals = np.abs(np.sum(
+            coef_d * (1.0 / scale[..., None]) ** orig_pow * tp, axis=-1))
+        active = vals > limit
+        steps += 1
+    return scale
+
+
+def compute_time_scale(coef: np.ndarray, T: np.ndarray, max_vel: np.ndarray,
+                       max_acc: np.ndarray, n: int, phi: int) -> float:
+    """Global time-scale factor >= 1 (timeScale, rbp_planner.hpp:209-235)."""
+    if phi != 3 or n != 5:
+        return 1.0
+    N, M, _, _ = coef.shape
+    dt = np.diff(np.asarray(T))  # [M]
+    c = np.asarray(coef).transpose(0, 3, 1, 2)  # [N, 3, M, n+1]
+
+    vel = _derivative_coeffs(c, 1, n)  # [N,3,M,5]
+    acc = _derivative_coeffs(c, 2, n)  # [N,3,M,4]
+    jerk = _derivative_coeffs(c, 3, n)  # [N,3,M,3]
+
+    dt_b = np.broadcast_to(dt, c.shape[:-1])
+
+    # velocity extrema: roots of acceleration + interval ends
+    r_acc = _real_roots_batched(acc)
+    cand_v = np.concatenate(
+        [r_acc, np.zeros_like(dt_b)[..., None], dt_b[..., None]], axis=-1)
+    cand_v = np.where((cand_v >= 0) & (cand_v <= dt_b[..., None]), cand_v, np.nan)
+    cand_v[..., -2] = 0.0  # t=0 always valid
+    cand_v[..., -1] = dt_b
+    vmax, tvmax = _max_abs_poly(vel, cand_v)
+    lim_v = np.broadcast_to(np.asarray(max_vel)[:, :, None], vmax.shape)
+    s_vel = _grow_scale(vel, tvmax, vmax, lim_v, n)
+
+    # acceleration extrema: roots of jerk + interval ends
+    r_jerk = _real_roots_batched(jerk)
+    cand_a = np.concatenate(
+        [r_jerk, np.zeros_like(dt_b)[..., None], dt_b[..., None]], axis=-1)
+    cand_a = np.where((cand_a >= 0) & (cand_a <= dt_b[..., None]), cand_a, np.nan)
+    cand_a[..., -2] = 0.0
+    cand_a[..., -1] = dt_b
+    amax, tamax = _max_abs_poly(acc, cand_a)
+    lim_a = np.broadcast_to(np.asarray(max_acc)[:, :, None], amax.shape)
+    s_acc = _grow_scale(acc, tamax, amax, lim_a, n)
+
+    return float(max(1.0, s_vel.max(), s_acc.max()))
+
+
+def apply_time_scale(coef: np.ndarray, T: np.ndarray, scale: float,
+                     n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Rescale coefficients and knot times by ``scale``
+    (rbp_planner.hpp:236-265)."""
+    if scale == 1.0:
+        return coef, T
+    j = np.arange(n + 1)
+    factors = (1.0 / scale) ** (n - j)  # column j holds t^(n-j)
+    return coef * factors[None, None, :, None], np.asarray(T) * scale

@@ -1,0 +1,70 @@
+"""Euclidean signed distance field as a batched XLA op.
+
+Replaces DynamicEDTOctomap (the only obstacle-query API in the reference —
+ecbs_planner.hpp:93, rbp_corridor.hpp:66) with a precomputed dense distance
+tensor.  The exact squared EDT is separable: one min-plus transform
+    g(i) = min_j [ f(j) + (i-j)^2 ]
+per axis yields the exact 3-D squared distance (Felzenswalb & Huttenlocher).
+On TPU the min-plus transform is expressed as a dense [L, L] "tropical
+matmul" — a min-reduction over a broadcast sum — which XLA tiles well and
+which is tiny for planner-scale grids (~100^2 per axis).
+
+Distances are voxel-center-to-voxel-center and clamped to ``max_dist``,
+matching DynamicEDTOctomap(maxDist=1.0, ...) in swarm_traj_planner_rbp.cpp:75.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .voxel import OccupancyGrid
+
+_BIG = jnp.float32(1e12)
+
+
+def _minplus_axis(fsq: jnp.ndarray, axis: int, res: float) -> jnp.ndarray:
+    """One exact 1-D squared-EDT pass along ``axis`` (lengths in world units)."""
+    L = fsq.shape[axis]
+    idx = jnp.arange(L, dtype=fsq.dtype) * res
+    # cost[i, j] = (i - j)^2 in world units
+    cost = (idx[:, None] - idx[None, :]) ** 2
+    f = jnp.moveaxis(fsq, axis, 0)  # [L, ...]
+    # g[i, ...] = min_j cost[i, j] + f[j, ...]
+    g = jnp.min(cost[:, :, None] + f[None, :, :].reshape(1, L, -1), axis=1)
+    g = g.reshape((L,) + f.shape[1:])
+    return jnp.moveaxis(g, 0, axis)
+
+
+@functools.partial(jax.jit, static_argnames=("res", "max_dist"))
+def esdf_from_occupancy(occ: jnp.ndarray, *, res: float,
+                        max_dist: float = 1.0) -> jnp.ndarray:
+    """[X,Y,Z] bool occupancy -> [X,Y,Z] float32 clamped Euclidean distances."""
+    fsq = jnp.where(occ, jnp.float32(0.0), _BIG)
+    for axis in range(3):
+        fsq = _minplus_axis(fsq, axis, res)
+    return jnp.minimum(jnp.sqrt(fsq), jnp.float32(max_dist))
+
+
+class ESDF:
+    """Host-side wrapper bundling the distance tensor with its voxelization."""
+
+    def __init__(self, grid: OccupancyGrid, max_dist: float = 1.0):
+        self.grid = grid
+        self.max_dist = float(max_dist)
+        self.dist = np.asarray(
+            esdf_from_occupancy(jnp.asarray(grid.occ), res=grid.res,
+                                max_dist=max_dist))
+
+    def query(self, pts: np.ndarray) -> np.ndarray:
+        """Distance at world points; -1 outside the map (DynamicEDT semantics)."""
+        pts = np.atleast_2d(np.asarray(pts, dtype=np.float64))
+        idx = self.grid.point_to_index(pts)
+        dims = np.array(self.grid.dims)
+        ok = np.all((idx >= 0) & (idx < dims), axis=-1)
+        idxc = np.clip(idx, 0, dims - 1)
+        d = self.dist[idxc[:, 0], idxc[:, 1], idxc[:, 2]].astype(np.float64)
+        d[~ok] = -1.0
+        return d

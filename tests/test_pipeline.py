@@ -1,0 +1,60 @@
+"""End-to-end pipeline tests: the BASELINE config ladder, CPU-sized.
+
+Config 1: 2-agent swap, empty world (BASELINE.md "2-agent swap mission").
+Config 2: 8-agent circle swap with random-forest obstacles.
+Acceptance follows the reference's printed metrics: min inter-agent
+ellipsoidal distance ratio >= 1, endpoint pins, C^3 continuity, dynamic
+limits after time scaling (rbp_publisher.hpp:125-126).
+"""
+import dataclasses
+
+import numpy as np
+import pytest
+
+from swarm_simulator_tpu import Param, evaluate, plan
+from swarm_simulator_tpu.io.mission_json import swap_mission
+from swarm_simulator_tpu.world.forest import generate_forest
+
+
+def _check(result, metrics, param):
+    assert metrics["min_safety_ratio"] >= 1.0 - 1e-3, metrics
+    assert metrics["knot_continuity_err"] < 1e-3, metrics
+    assert metrics["start_err"] < 1e-3, metrics
+    assert metrics["goal_err"] < 1e-3, metrics
+    if param.time_scale:
+        assert metrics["dynamic_violation"] < 1e-2, metrics
+
+
+def test_two_agent_swap_empty_world():
+    param = Param(world_z_min=0.0, solver_dtype="float64", grid_xy_res=0.5,
+                  grid_z_res=0.5)
+    mission = swap_mission(2, z=0.5, span=1.0, radius=0.25)
+    result, times = plan(mission, param, search_backend="python")
+    metrics = evaluate(result, mission, param)
+    _check(result, metrics, param)
+    # both agents reach antipodes
+    np.testing.assert_allclose(result.init_traj[0, -1], [-1.0, 0.0, 0.5],
+                               atol=1e-9)
+
+
+def test_two_agent_swap_sequential():
+    param = Param(world_z_min=0.0, solver_dtype="float64", grid_xy_res=0.5,
+                  grid_z_res=0.5, sequential=True, batch_size=1,
+                  batch_iter=-1)
+    mission = swap_mission(2, z=0.5, span=1.0, radius=0.25)
+    result, times = plan(mission, param, search_backend="python")
+    metrics = evaluate(result, mission, param)
+    _check(result, metrics, param)
+
+
+def test_eight_agent_forest():
+    param = Param(world_z_min=0.0, solver_dtype="float64",
+                  grid_xy_res=0.5, grid_z_res=0.5)
+    mission = swap_mission(8, z=1.0, span=4.0, radius=0.12)
+    world = generate_forest(
+        mission, world_min=param.world_min, world_max=param.world_max,
+        resolution=param.world_resolution, obs_num=6, r_min=0.3, r_max=0.3,
+        h_min=1.0, h_max=2.5, margin=0.5, seed=7)
+    result, times = plan(mission, param, world, search_backend="python")
+    metrics = evaluate(result, mission, param)
+    _check(result, metrics, param)
