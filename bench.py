@@ -1,0 +1,125 @@
+"""Benchmark: batched QP solves/s per chip on the canonical 64-agent config.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+The headline metric mirrors BASELINE.md: aggregate QP solves/s (one
+"solve" = one sequential-batch QP of batch_size agents, the unit of work
+CPLEX performs per call in the reference, rbp_planner.hpp:140-204).
+vs_baseline compares the accelerator's *batched* throughput against the
+reference architecture's one-problem-at-a-time host execution measured on
+this machine's CPU backend (the reference is single-threaded C++/CPLEX).
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def build_problem():
+    """64-agent circle swap, empty 10x10x2.5 world, canonical knobs
+    (plan_rbp_random_forest.launch:23-66 minus the forest)."""
+    import swarm_simulator_tpu as sst
+    from swarm_simulator_tpu.io.mission_json import swap_mission
+    from swarm_simulator_tpu.corridor.times import build_corridors
+    from swarm_simulator_tpu.search.planner import plan_initial_trajectories
+    from swarm_simulator_tpu.world.esdf import ESDF
+    from swarm_simulator_tpu.world.voxel import OccupancyGrid
+
+    param = sst.Param(world_z_min=0.0, grid_xy_res=0.5, grid_z_res=0.5,
+                      sequential=True, batch_size=4, batch_iter=-1,
+                      solver_dtype="float32", solver_max_iter=1000)
+    mission = swap_mission(64, z=1.0, span=4.0, radius=0.12)
+    world = OccupancyGrid.empty(param.world_min, param.world_max,
+                                param.world_resolution)
+    esdf = ESDF(world, max_dist=param.esdf_max_dist)
+    t0 = time.perf_counter()
+    plan = plan_initial_trajectories(esdf, mission, param)
+    log(f"search: {time.perf_counter()-t0:.2f}s  M={plan.M}")
+    t0 = time.perf_counter()
+    build_corridors(esdf, plan, mission.radius, param)
+    log(f"corridor: {time.perf_counter()-t0:.2f}s")
+    return plan, mission, param
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from swarm_simulator_tpu.parallel import seqbatch
+    from swarm_simulator_tpu.qp import admm, assemble
+
+    plan, mission, param = build_problem()
+    N = mission.qn
+    settings = admm.ADMMSettings(max_iter=1000, eps_abs=1e-4, eps_rel=1e-4)
+
+    batches, batch_iter = seqbatch.make_batches(N, param)
+    dummy = assemble.build_dummy(plan.init_traj, param.n)
+    members = [set(int(q) for q in b) for b in batches]
+    pad = max(sum(1 for (qi, qj) in np.asarray(plan.pair_idx)
+                  if int(qi) in m or int(qj) in m) for m in members)
+    datas = [assemble.assemble_batch(plan, mission, param, b, dummy, pad)
+             for b in batches]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *datas)
+    n_batches = len(datas)
+
+    # --- accelerator: batched Jacobi throughput (solves/s/chip) ---
+    S = 4  # scenario replication to saturate the chip
+    big = jax.tree.map(
+        lambda x: jnp.broadcast_to(x[None], (S,) + x.shape).reshape(
+            (S * n_batches,) + x.shape[1:]), stacked)
+    xs, info = admm.solve_qp_batched(big, settings)  # compile
+    jax.block_until_ready(xs)
+    t0 = time.perf_counter()
+    reps = 3
+    for _ in range(reps):
+        xs, info = admm.solve_qp_batched(big, settings)
+        jax.block_until_ready(xs)
+    dt_batched = (time.perf_counter() - t0) / reps
+    solves_per_s = S * n_batches / dt_batched
+    log(f"device batched: {S*n_batches} solves in {dt_batched:.3f}s -> "
+        f"{solves_per_s:.1f} solves/s  iters_max={np.asarray(info.iters).max()}"
+        f"  r_prim_max={np.asarray(info.r_prim).max():.2e}")
+
+    # --- per-cycle latency: one Gauss-Seidel sweep of 16 batches ---
+    x1, i1 = admm.solve_qp(datas[0], settings)
+    jax.block_until_ready(x1)
+    t0 = time.perf_counter()
+    for d in datas:
+        x1, i1 = admm.solve_qp(d, settings)
+        jax.block_until_ready(x1)
+    dt_cycle = time.perf_counter() - t0
+    log(f"sequential cycle ({n_batches} batches): {dt_cycle:.3f}s")
+
+    # --- baseline: reference architecture = one problem at a time on CPU ---
+    cpu = jax.devices("cpu")[0]
+    data_cpu = jax.tree.map(lambda x: jax.device_put(x, cpu), datas[0])
+    with jax.default_device(cpu):
+        xc, ic = admm.solve_qp(data_cpu, settings)  # compile
+        jax.block_until_ready(xc)
+        t0 = time.perf_counter()
+        for _ in range(2):
+            xc, ic = admm.solve_qp(data_cpu, settings)
+            jax.block_until_ready(xc)
+        dt_cpu = (time.perf_counter() - t0) / 2
+    cpu_solves_per_s = 1.0 / dt_cpu
+    log(f"cpu single-problem: {dt_cpu:.3f}s/solve -> "
+        f"{cpu_solves_per_s:.2f} solves/s")
+
+    print(json.dumps({
+        "metric": "qp_solves_per_s_per_chip_64agents",
+        "value": round(solves_per_s, 2),
+        "unit": "solves/s",
+        "vs_baseline": round(solves_per_s / cpu_solves_per_s, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -92,36 +92,68 @@ def expand_box(esdf: ESDF, box: list, margin: float, param: Param) -> list:
     return box
 
 
+def _agent_boxes_python(esdf: ESDF, traj: np.ndarray, radius: float,
+                        param: Param) -> list[list]:
+    L = len(traj)
+    boxes: list[list] = []
+    box_prev = [0.0] * 6
+    for s in range(L - 1):
+        p0, p1 = traj[s], traj[s + 1]
+        if _point_in_box(p1, box_prev):
+            continue
+        rxy, rz = param.box_xy_res, param.box_z_res
+        box = [
+            round(min(p0[0], p1[0]) / rxy) * rxy,
+            round(min(p0[1], p1[1]) / rxy) * rxy,
+            round(min(p0[2], p1[2]) / rz) * rz,
+            round(max(p0[0], p1[0]) / rxy) * rxy,
+            round(max(p0[1], p1[1]) / rxy) * rxy,
+            round(max(p0[2], p1[2]) / rz) * rz,
+        ]
+        if is_obstacle_in_box(esdf, box, radius, param):
+            raise ValueError(
+                f"obstacle invades initial trajectory at segment {s}")
+        box = expand_box(esdf, box, radius, param)
+        boxes.append(box)
+        box_prev = box
+    return boxes
+
+
+def _agent_boxes_native(esdf: ESDF, traj: np.ndarray, radius: float,
+                        param: Param) -> list[list]:
+    from ..search.native_binding import sfc_expand_native
+
+    boxes = sfc_expand_native(
+        esdf.dist, esdf.grid.res, esdf.grid.i0, param.world_min,
+        param.world_max, param.box_xy_res, param.box_z_res,
+        np.ascontiguousarray(traj), radius)
+    return [list(b) for b in boxes]
+
+
 def update_obs_boxes(esdf: ESDF, plan: PlanResult, radius: np.ndarray,
-                     param: Param) -> list[list[tuple[list, float]]]:
+                     param: Param,
+                     backend: str = "auto") -> list[list[tuple[list, float]]]:
     """Per-agent SFC: list of (box[6], end_time) (updateObsBox)."""
     N, L, _ = plan.init_traj.shape
     makespan = float(plan.T[-1])
+
+    expand = _agent_boxes_python
+    if backend in ("auto", "native"):
+        try:
+            from ..search.native_binding import build_native
+            build_native()
+            expand = _agent_boxes_native
+        except Exception:
+            if backend == "native":
+                raise
+
     sfc_all = []
     for qi in range(N):
         traj = plan.init_traj[qi]
-        boxes: list[list] = []
-        box_prev = [0.0] * 6
-        for s in range(L - 1):
-            p0, p1 = traj[s], traj[s + 1]
-            if _point_in_box(p1, box_prev):
-                continue
-            rxy, rz = param.box_xy_res, param.box_z_res
-            box = [
-                round(min(p0[0], p1[0]) / rxy) * rxy,
-                round(min(p0[1], p1[1]) / rxy) * rxy,
-                round(min(p0[2], p1[2]) / rz) * rz,
-                round(max(p0[0], p1[0]) / rxy) * rxy,
-                round(max(p0[1], p1[1]) / rxy) * rxy,
-                round(max(p0[2], p1[2]) / rz) * rz,
-            ]
-            if is_obstacle_in_box(esdf, box, float(radius[qi]), param):
-                raise ValueError(
-                    f"obstacle invades initial trajectory of agent {qi} at "
-                    f"segment {s}")
-            box = expand_box(esdf, box, float(radius[qi]), param)
-            boxes.append(box)
-            box_prev = box
+        try:
+            boxes = expand(esdf, traj, float(radius[qi]), param)
+        except ValueError as e:
+            raise ValueError(f"agent {qi}: {e}") from e
 
         # --- box time windows (rbp_corridor.hpp:195-237) ---
         box_max = len(boxes)

@@ -38,6 +38,7 @@ class ADMMSettings:
     max_iter: int = 2000
     eps_abs: float = 1e-4
     eps_rel: float = 1e-4
+    scaling: bool = True  # Ruiz equilibration (required for float32)
 
 
 class Constr(NamedTuple):
@@ -150,16 +151,50 @@ def build_kkt_inverse(data: QPData, s: ADMMSettings) -> jnp.ndarray:
 
 
 def solve_single(data: QPData, s: ADMMSettings) -> tuple[jnp.ndarray, SolveInfo]:
-    """Solve one QP. Use jax.vmap(solve_single, ...) for batches."""
+    """Solve one QP. Use jax.vmap(solve_single, ...) for batches.
+
+    Runs under matmul precision "highest": TPU lowers float32 matmuls to
+    bfloat16 passes by default, which destroys ADMM convergence (the
+    K^-1 @ rhs product needs full f32)."""
+    with jax.default_matmul_precision("highest"):
+        return _solve_single_impl(data, s)
+
+
+def _solve_single_impl(data: QPData, s: ADMMSettings) -> tuple[jnp.ndarray, SolveInfo]:
+    from .scaling import Scaling, equilibrate
+
     B, K3, D = data.lb.shape
     shape = (B, K3, D)
     nx = B * K3 * D
     dt = data.lb.dtype
 
+    orig = data
+    if s.scaling:
+        data, scal = equilibrate(data)
+    else:
+        scal = None
     n_d = _pair_nd(data)
+    n_d_orig = _pair_nd(orig)
     Kinv = build_kkt_inverse(data, s)
     l, u = _bounds(data)
     rho = _rho_vec(data, s)
+
+    def unscale_x(xb):
+        return xb * scal.d if scal is not None else xb
+
+    def unscale_y(yb: Constr) -> Constr:
+        if scal is None:
+            return yb
+        return Constr(eq=yb.eq * scal.e_eq / scal.c,
+                      box=yb.box / (scal.d * scal.c),
+                      pair=yb.pair * scal.pair_row / scal.c)
+
+    def unscale_z(zb: Constr) -> Constr:
+        if scal is None:
+            return zb
+        return Constr(eq=zb.eq / scal.e_eq,
+                      box=zb.box * scal.d,
+                      pair=zb.pair / scal.pair_row)
 
     tmap = jax.tree.map
     x = data.x0
@@ -188,11 +223,14 @@ def solve_single(data: QPData, s: ADMMSettings) -> tuple[jnp.ndarray, SolveInfo]
         z_new = tmap(jnp.clip, v, l, u)
         y_new = tmap(lambda vv, zz, r: r * (vv - zz), v, z_new, rho)
 
-        # scaled residuals (OSQP sec. 3.4)
-        ax = A_matvec(data, x_new, n_d)
-        px = P_matvec(data, x_new)
-        aty = AT_matvec(data, y_new, n_d)
-        r_prim = tmax(tmap(lambda a_, zz: a_ - zz, ax, z_new))
+        # termination on *unscaled* residuals (OSQP sec. 3.4 + 5.1)
+        xu = unscale_x(x_new)
+        yu = unscale_y(y_new)
+        zu = unscale_z(z_new)
+        ax = A_matvec(orig, xu, n_d_orig)
+        px = P_matvec(orig, xu)
+        aty = AT_matvec(orig, yu, n_d_orig)
+        r_prim = tmax(tmap(lambda a_, zz: a_ - zz, ax, zu))
         r_dual = tmax([px + aty])
         eps_prim = eps_abs + eps_rel * jnp.maximum(tmax(ax), tmax(z_new))
         eps_dual = eps_abs + eps_rel * jnp.maximum(tmax([px]), tmax([aty]))
@@ -206,13 +244,16 @@ def solve_single(data: QPData, s: ADMMSettings) -> tuple[jnp.ndarray, SolveInfo]
     state = (x, z, y, jnp.asarray(0), jnp.asarray(False))
     x, z, y, it, _ = jax.lax.while_loop(cond, body, state)
 
-    # final residuals for reporting
-    ax = A_matvec(data, x, n_d)
-    r_prim = tmax(tmap(lambda a_, zz: a_ - zz, ax, z))
-    r_dual = tmax([P_matvec(data, x) + AT_matvec(data, y, n_d)])
+    # final unscaled residuals for reporting
+    xu = unscale_x(x)
+    yu = unscale_y(y)
+    zu = unscale_z(z)
+    ax = A_matvec(orig, xu, n_d_orig)
+    r_prim = tmax(tmap(lambda a_, zz: a_ - zz, ax, zu))
+    r_dual = tmax([P_matvec(orig, xu) + AT_matvec(orig, yu, n_d_orig)])
 
-    obj = 0.5 * jnp.vdot(x, P_matvec(data, x))
-    return x, SolveInfo(iters=it, r_prim=r_prim, r_dual=r_dual, obj=obj)
+    obj = 0.5 * jnp.vdot(xu, P_matvec(orig, xu))
+    return xu, SolveInfo(iters=it, r_prim=r_prim, r_dual=r_dual, obj=obj)
 
 
 @partial(jax.jit, static_argnames=("settings",))
