@@ -27,16 +27,16 @@ def build_problem():
     """64-agent circle swap, empty 10x10x2.5 world, canonical knobs
     (plan_rbp_random_forest.launch:23-66 minus the forest)."""
     import swarm_simulator_tpu as sst
-    from swarm_simulator_tpu.io.mission_json import swap_mission
+    from swarm_simulator_tpu.io.mission_json import perimeter_swap_mission
     from swarm_simulator_tpu.corridor.times import build_corridors
     from swarm_simulator_tpu.search.planner import plan_initial_trajectories
     from swarm_simulator_tpu.world.esdf import ESDF
     from swarm_simulator_tpu.world.voxel import OccupancyGrid
 
-    param = sst.Param(world_z_min=0.0, grid_xy_res=0.5, grid_z_res=0.5,
+    param = sst.Param(world_z_min=0.3, grid_xy_res=0.5, grid_z_res=1.0,
                       sequential=True, batch_size=4, batch_iter=-1,
                       solver_dtype="float32", solver_max_iter=1000)
-    mission = swap_mission(64, z=1.0, span=4.0, radius=0.12)
+    mission = perimeter_swap_mission(64, half=4.0, z=1.0, radius=0.15)
     world = OccupancyGrid.empty(param.world_min, param.world_max,
                                 param.world_resolution)
     esdf = ESDF(world, max_dist=param.esdf_max_dist)

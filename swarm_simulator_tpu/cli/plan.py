@@ -1,0 +1,130 @@
+"""CLI: plan a swarm mission end to end.
+
+Equivalent of the swarm_traj_planner_rbp demo node
+(src/swarm_traj_planner_rbp.cpp): load a mission + world, run the
+pipeline, print per-stage runtimes and the acceptance metrics, optionally
+dump crazyswarm CSVs.
+
+Usage:
+  python -m swarm_simulator_tpu.cli.plan --mission missions/m.json \
+      [--world worlds/map1.bt | --forest-seed 0 --obs-num 20] \
+      [--sequential --batch-size 4] [--log-dir log/] [--platform cpu]
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--mission", required=True, help="mission JSON path")
+    p.add_argument("--world", default=None, help=".bt octomap world (replay)")
+    p.add_argument("--forest-seed", type=int, default=None,
+                   help="generate a random forest with this seed")
+    p.add_argument("--obs-num", type=int, default=20)
+    p.add_argument("--obs-r-min", type=float, default=0.3)
+    p.add_argument("--obs-r-max", type=float, default=0.3)
+    p.add_argument("--obs-h-min", type=float, default=0.0)
+    p.add_argument("--obs-h-max", type=float, default=2.5)
+    p.add_argument("--obs-margin", type=float, default=0.5)
+    # world AABB (launch defaults)
+    p.add_argument("--world-min", type=float, nargs=3,
+                   default=[-5.0, -5.0, 0.0], metavar=("X", "Y", "Z"))
+    p.add_argument("--world-max", type=float, nargs=3,
+                   default=[5.0, 5.0, 2.5], metavar=("X", "Y", "Z"))
+    p.add_argument("--grid-xy-res", type=float, default=0.5)
+    p.add_argument("--grid-z-res", type=float, default=1.0)
+    p.add_argument("--grid-margin", type=float, default=0.2)
+    p.add_argument("--ecbs-w", type=float, default=1.3)
+    p.add_argument("--box-xy-res", type=float, default=0.1)
+    p.add_argument("--box-z-res", type=float, default=0.1)
+    p.add_argument("--time-step", type=float, default=1.0)
+    p.add_argument("--downwash", type=float, default=2.0)
+    p.add_argument("--no-time-scale", action="store_true")
+    p.add_argument("--sequential", action="store_true")
+    p.add_argument("--batch-size", type=int, default=4)
+    p.add_argument("--batch-iter", type=int, default=-1)
+    p.add_argument("--iteration", type=int, default=1)
+    p.add_argument("--parallel-mode", choices=["gauss-seidel", "jacobi"],
+                   default="gauss-seidel")
+    p.add_argument("--dtype", choices=["float32", "float64"],
+                   default="float32")
+    p.add_argument("--max-iter", type=int, default=2000)
+    p.add_argument("--platform", default=None,
+                   help="jax platform override (e.g. cpu)")
+    p.add_argument("--log-dir", default=None,
+                   help="write crazyswarm coef CSVs here")
+    p.add_argument("--json", action="store_true",
+                   help="print metrics as one JSON line")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_argparser().parse_args(argv)
+
+    import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    if args.dtype == "float64":
+        jax.config.update("jax_enable_x64", True)
+
+    import swarm_simulator_tpu as sst
+    from swarm_simulator_tpu.io.mission_json import load_mission
+
+    mission = load_mission(args.mission)
+    param = sst.Param(
+        world_x_min=args.world_min[0], world_y_min=args.world_min[1],
+        world_z_min=args.world_min[2], world_x_max=args.world_max[0],
+        world_y_max=args.world_max[1], world_z_max=args.world_max[2],
+        ecbs_w=args.ecbs_w, grid_xy_res=args.grid_xy_res,
+        grid_z_res=args.grid_z_res, grid_margin=args.grid_margin,
+        box_xy_res=args.box_xy_res, box_z_res=args.box_z_res,
+        time_scale=not args.no_time_scale, time_step=args.time_step,
+        downwash=args.downwash, sequential=args.sequential,
+        batch_size=args.batch_size, batch_iter=args.batch_iter,
+        iteration=args.iteration, parallel_mode=args.parallel_mode,
+        solver_dtype=args.dtype, solver_max_iter=args.max_iter,
+    )
+
+    world = None
+    if args.world:
+        from swarm_simulator_tpu.world.btree import load_bt_world
+        world = load_bt_world(args.world, param.world_min, param.world_max)
+    elif args.forest_seed is not None:
+        from swarm_simulator_tpu.world.forest import generate_forest
+        world = generate_forest(
+            mission, world_min=param.world_min, world_max=param.world_max,
+            resolution=param.world_resolution, obs_num=args.obs_num,
+            r_min=args.obs_r_min, r_max=args.obs_r_max,
+            h_min=args.obs_h_min, h_max=args.obs_h_max,
+            margin=args.obs_margin, seed=args.forest_seed)
+
+    result, times = sst.plan(mission, param, world)
+    metrics = sst.evaluate(result, mission, param)
+
+    if args.log_dir:
+        from swarm_simulator_tpu.io.coef_csv import write_all
+        write_all(args.log_dir, result.coef, result.T, param.n)
+
+    if args.json:
+        print(json.dumps({"metrics": metrics,
+                          "times": dataclasses.asdict(times)}))
+    else:
+        print(f"agents={mission.qn} M={result.M} makespan={result.T[-1]:.2f}s")
+        print(f"stage runtimes [s]: esdf={times.esdf:.3f} "
+              f"search={times.init_traj:.3f} corridor={times.corridor:.3f} "
+              f"qp={times.qp:.3f} timescale={times.timescale:.3f} "
+              f"total={times.total:.3f}")
+        for k, v in metrics.items():
+            print(f"  {k}: {v:.6f}")
+        ok = metrics["min_safety_ratio"] >= 1.0
+        print("RESULT:", "collision-free" if ok else "COLLISION")
+        return 0 if ok else 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

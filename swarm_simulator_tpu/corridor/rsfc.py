@@ -72,8 +72,12 @@ def build_rsfc(init_traj: np.ndarray, downwash: float):
     if len(pair_idx) == 0:
         M = init_traj.shape[1] - 1
         return pair_idx, np.zeros((0, M, 3))
-    normals, dmin = pair_separating_planes(
-        jnp.asarray(init_traj), jnp.asarray(pair_idx), downwash=float(downwash))
+    # host-prep computation: pin to CPU so a remote accelerator doesn't pay
+    # compile+transfer for a sub-ms tensor op
+    with jax.default_device(jax.devices("cpu")[0]):
+        normals, dmin = pair_separating_planes(
+            jnp.asarray(init_traj), jnp.asarray(pair_idx),
+            downwash=float(downwash))
     dmin = np.asarray(dmin)
     if np.any(dmin <= 0):
         p, m = np.argwhere(dmin <= 0)[0]

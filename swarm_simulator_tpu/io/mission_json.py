@@ -55,6 +55,38 @@ def mission_from_dict(doc: dict) -> Mission:
                    max_vel=max_vel, max_acc=max_acc, names=names)
 
 
+def perimeter_swap_mission(n_agents: int = 64, *, half: float = 4.0,
+                           z: float = 1.0, radius: float = 0.15,
+                           speed: float = 1.0, max_vel: float = 1.7,
+                           max_acc: float = 6.2) -> Mission:
+    """Agents evenly spaced on a square perimeter, goals point-reflected —
+    the canonical demo geometry (missions/mission_64agents_15.json)."""
+    if n_agents % 4 != 0:
+        raise ValueError("n_agents must be divisible by 4")
+    per_edge = n_agents // 4
+    step = 2 * half / per_edge
+    t = np.arange(per_edge) * step  # half-open edge walk: no corner dups
+    xy = np.concatenate([
+        np.stack([np.full(per_edge, half), -half + t], axis=1),   # right, up
+        np.stack([half - t, np.full(per_edge, half)], axis=1),    # top, left
+        np.stack([np.full(per_edge, -half), half - t], axis=1),   # left, down
+        np.stack([-half + t, np.full(per_edge, -half)], axis=1),  # bottom
+    ])
+    start = np.zeros((n_agents, 9))
+    goal = np.zeros((n_agents, 9))
+    start[:, 0:2] = xy
+    start[:, 2] = z
+    goal[:, 0:2] = -xy
+    goal[:, 2] = z
+    return Mission(
+        start=start, goal=goal,
+        radius=np.full(n_agents, radius), speed=np.full(n_agents, speed),
+        max_vel=np.full((n_agents, 3), max_vel),
+        max_acc=np.full((n_agents, 3), max_acc),
+        names=["default"] * n_agents,
+    )
+
+
 def swap_mission(n_agents: int = 2, *, z: float = 0.5, span: float = 1.0,
                  radius: float = 0.25, speed: float = 1.0,
                  max_vel: float = 1.7, max_acc: float = 6.2) -> Mission:

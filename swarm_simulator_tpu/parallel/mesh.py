@@ -1,0 +1,115 @@
+"""Device-mesh sharding for the planner's two parallel axes.
+
+The framework scales along:
+  * ``scenario`` — independent planning problems (Monte-Carlo maps,
+    missions, replans).  Embarrassingly parallel; DCN-friendly across
+    hosts (the 50-map sweep of swarm_traj_planner_rbp_test_all.cpp as a
+    batch dimension).
+  * ``batch`` — the agent groups of sequential batch planning
+    (rbp_planner.hpp:849-872).  Groups couple through the shared dummy
+    trajectories, so each Jacobi round ends with an all-gather of the
+    refreshed dummy state over ICI — the collective form of the
+    reference's dummy write-back (rbp_planner.hpp:183).
+
+Everything here is a thin layer over jit + NamedSharding: the solver
+itself (qp/admm.py) is already vmap/pjit-polymorphic.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..qp import admm, assemble
+
+
+def make_mesh(n_scenario: int | None = None, n_batch: int | None = None,
+              devices=None) -> Mesh:
+    """Factor available devices into a (scenario, batch) mesh."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if n_scenario is None and n_batch is None:
+        n_batch = 1
+        for cand in (4, 2, 1):
+            if n % cand == 0:
+                n_batch = cand
+                break
+        n_scenario = n // n_batch
+    elif n_scenario is None:
+        n_scenario = n // n_batch
+    elif n_batch is None:
+        n_batch = n // n_scenario
+    devs = np.array(devices[: n_scenario * n_batch]).reshape(
+        n_scenario, n_batch)
+    return Mesh(devs, axis_names=("scenario", "batch"))
+
+
+def shard_stacked(data: assemble.QPData, mesh: Mesh,
+                  axes: tuple[str | None, ...] = ("batch",)) -> assemble.QPData:
+    """Place a stacked QPData (leading axes = ``axes``) onto the mesh."""
+    spec = P(*axes)
+    return jax.tree.map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, spec)), data)
+
+
+@partial(jax.jit, static_argnames=("settings", "rounds", "kkt_chunk"))
+def jacobi_sweep(stacked: assemble.QPData, dummy: jnp.ndarray,
+                 settings: admm.ADMMSettings,
+                 rounds: int = 1, kkt_chunk: int = 4):
+    """Fully on-device Jacobi sequential-batch planning.
+
+    stacked: QPData with a leading batch-group axis [L, ...] (shard it
+    over the mesh's "batch" axis with shard_stacked); dummy: [N, M, n+1, 3]
+    global control points.  Each round refreshes every group's coupling
+    rhs from the shared dummy, solves all groups in parallel, and
+    scatter-gathers the solutions back into the dummy — XLA inserts the
+    all-gather across the batch-sharded axis automatically.
+
+    The expensive per-group KKT factorization/equilibration depends only
+    on problem *structure* (costs, continuity, boxes, pair normals), not
+    on the dummy state, so it is computed once and reused by every round;
+    each round only rescales the refreshed coupling rhs.
+
+    Returns (ctrl [N, M, n+1, 3], info of the last round).
+    """
+    import dataclasses
+
+    N, M, npp, _ = dummy.shape
+
+    with jax.default_matmul_precision("highest"):
+        prep = jax.lax.map(lambda d: admm._prepare(d, settings), stacked,
+                           batch_size=kkt_chunk)
+        sdatas, scals, Kinvs = prep
+
+        def round_fn(dummy, _):
+            datas = jax.vmap(assemble.refresh_from_dummy,
+                             in_axes=(0, None))(stacked, dummy)
+
+            def one(d, sd, scal, Kinv):
+                if scal is not None:  # rescale refreshed rhs + warm start
+                    rhs = jnp.where(
+                        d.pair_mask[:, None] > 0,
+                        d.pair_rhs * scal.pair_row,
+                        jnp.asarray(-assemble.BIG, d.pair_rhs.dtype))
+                    sd = dataclasses.replace(sd, pair_rhs=rhs,
+                                             x0=d.x0 / scal.d)
+                else:
+                    sd = dataclasses.replace(sd, pair_rhs=d.pair_rhs,
+                                             x0=d.x0)
+                return admm._iterate(d, sd, scal, Kinv, settings)
+
+            xs, info = jax.vmap(one)(datas, sdatas, scals, Kinvs)
+            # xs: [L, B, 3, D] -> control points [L*B, M, npp, 3]
+            L, B = xs.shape[0], xs.shape[1]
+            ctrl = xs.transpose(0, 1, 3, 2).reshape(L * B, M, npp, 3)
+            agents = stacked.agents.reshape(L * B)
+            new_dummy = dummy.at[agents].set(
+                ctrl.astype(dummy.dtype), mode="drop")
+            return new_dummy, info
+
+        dummy, infos = jax.lax.scan(round_fn, dummy, None, length=rounds)
+    return dummy, jax.tree.map(lambda x: x[-1], infos)

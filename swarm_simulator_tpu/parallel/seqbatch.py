@@ -142,4 +142,8 @@ def _pad_agents(d: assemble.QPData, Bmax: int) -> assemble.QPData:
                                          d.lb.dtype)], axis=0)
     ub = jnp.concatenate([d.ub, jnp.full((pad,) + d.ub.shape[1:], big,
                                          d.ub.dtype)], axis=0)
-    return dataclasses.replace(d, deq=padB(d.deq), lb=lb, ub=ub, x0=padB(d.x0))
+    # padded agents get a sentinel id so coupling scatters drop them
+    agents = jnp.concatenate([
+        d.agents, jnp.full((pad,), 2**30, dtype=d.agents.dtype)])
+    return dataclasses.replace(d, deq=padB(d.deq), lb=lb, ub=ub,
+                               x0=padB(d.x0), agents=agents)

@@ -150,6 +150,21 @@ def build_kkt_inverse(data: QPData, s: ADMMSettings) -> jnp.ndarray:
     return jax.scipy.linalg.cho_solve(cho, jnp.eye(nx, dtype=dt))
 
 
+def _prepare(data: QPData, s: ADMMSettings):
+    """Per-problem setup: equilibration + the KKT inverse (the memory- and
+    FLOP-heavy phase; batched callers run it in chunks via lax.map so the
+    Cholesky/triangular-solve temporaries never exist for the whole stack
+    at once)."""
+    from .scaling import equilibrate
+
+    if s.scaling:
+        sdata, scal = equilibrate(data)
+    else:
+        sdata, scal = data, None
+    Kinv = build_kkt_inverse(sdata, s)
+    return sdata, scal, Kinv
+
+
 def solve_single(data: QPData, s: ADMMSettings) -> tuple[jnp.ndarray, SolveInfo]:
     """Solve one QP. Use jax.vmap(solve_single, ...) for batches.
 
@@ -157,25 +172,19 @@ def solve_single(data: QPData, s: ADMMSettings) -> tuple[jnp.ndarray, SolveInfo]
     bfloat16 passes by default, which destroys ADMM convergence (the
     K^-1 @ rhs product needs full f32)."""
     with jax.default_matmul_precision("highest"):
-        return _solve_single_impl(data, s)
+        sdata, scal, Kinv = _prepare(data, s)
+        return _iterate(data, sdata, scal, Kinv, s)
 
 
-def _solve_single_impl(data: QPData, s: ADMMSettings) -> tuple[jnp.ndarray, SolveInfo]:
-    from .scaling import Scaling, equilibrate
-
+def _iterate(orig: QPData, data: QPData, scal, Kinv: jnp.ndarray,
+             s: ADMMSettings) -> tuple[jnp.ndarray, SolveInfo]:
     B, K3, D = data.lb.shape
     shape = (B, K3, D)
     nx = B * K3 * D
     dt = data.lb.dtype
 
-    orig = data
-    if s.scaling:
-        data, scal = equilibrate(data)
-    else:
-        scal = None
     n_d = _pair_nd(data)
     n_d_orig = _pair_nd(orig)
-    Kinv = build_kkt_inverse(data, s)
     l, u = _bounds(data)
     rho = _rho_vec(data, s)
 
@@ -261,7 +270,18 @@ def solve_qp(data: QPData, settings: ADMMSettings = ADMMSettings()):
     return solve_single(data, settings)
 
 
-@partial(jax.jit, static_argnames=("settings",))
-def solve_qp_batched(data: QPData, settings: ADMMSettings = ADMMSettings()):
-    """Solve a stack of QPs: every QPData leaf has a leading batch axis."""
-    return jax.vmap(lambda d: solve_single(d, settings))(data)
+@partial(jax.jit, static_argnames=("settings", "kkt_chunk"))
+def solve_qp_batched(data: QPData, settings: ADMMSettings = ADMMSettings(),
+                     kkt_chunk: int = 4):
+    """Solve a stack of QPs: every QPData leaf has a leading batch axis.
+
+    The KKT inverses are computed ``kkt_chunk`` problems at a time (the
+    batched triangular solves behind cho_solve(K, I) allocate O(nx^2)
+    panel temporaries *per problem* — fully vmapping them OOMs HBM at
+    planner scale); the ADMM iterations then run fully batched.
+    """
+    with jax.default_matmul_precision("highest"):
+        prep = jax.lax.map(lambda d: _prepare(d, settings), data,
+                           batch_size=kkt_chunk)
+        return jax.vmap(
+            lambda d, p: _iterate(d, p[0], p[1], p[2], settings))(data, prep)

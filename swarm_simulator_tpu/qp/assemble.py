@@ -44,6 +44,38 @@ class QPData:
     pair_rhs: jnp.ndarray  # [P, D] rhs (rsum, dummy terms folded in)
     pair_mask: jnp.ndarray  # [P] float 0/1
     x0: jnp.ndarray  # [B, 3, D] warm start (dummy control points)
+    # global bookkeeping for device-side coupling refresh (Jacobi sweeps)
+    agents: jnp.ndarray  # [B] int32 global agent ids
+    pair_qi: jnp.ndarray  # [P] int32 global id of qi
+    pair_qj: jnp.ndarray  # [P] int32 global id of qj
+    pair_rsum: jnp.ndarray  # [P] r_i + r_j
+
+
+def refresh_from_dummy(data: QPData, dummy: jnp.ndarray) -> QPData:
+    """Recompute the dummy-dependent pieces of a batch QP on device.
+
+    dummy: [N, M, n+1, 3] global control points of all agents.  Rebuilds
+    pair_rhs (one-sided constraints against fixed agents,
+    rbp_planner.hpp:645-666) and the warm start x0 — making a whole
+    Jacobi/Gauss-Seidel sweep expressible as one jitted program with no
+    host round-trips.
+    """
+    import dataclasses
+
+    N, M, npp, _ = dummy.shape
+    D = M * npp
+    dd = dummy.astype(data.pair_rhs.dtype)
+    # n . dummy[q] per control point: [P, D]
+    dj = dd[jnp.clip(data.pair_qj, 0, None)]  # [P, M, n+1, 3]
+    di = dd[jnp.clip(data.pair_qi, 0, None)]
+    ndj = jnp.einsum("pmk,pmik->pmi", data.pair_n, dj).reshape(-1, D)
+    ndi = jnp.einsum("pmk,pmik->pmi", data.pair_n, di).reshape(-1, D)
+    j_fixed = (data.pair_bj < 0).astype(ndj.dtype)[:, None]
+    i_fixed = (data.pair_bi < 0).astype(ndi.dtype)[:, None]
+    rhs = (data.pair_rsum[:, None] - j_fixed * ndj + i_fixed * ndi)
+    rhs = jnp.where(data.pair_mask[:, None] > 0, rhs, -BIG)
+    x0 = dd[data.agents].reshape(-1, D, 3).transpose(0, 2, 1)
+    return dataclasses.replace(data, pair_rhs=rhs, x0=x0)
 
 
 def build_aeq(T: np.ndarray, n: int, phi: int) -> np.ndarray:
@@ -144,6 +176,7 @@ def assemble_batch(
 
     # pair rows: any pair with at least one batch member
     rows_bi, rows_bj, rows_n, rows_rhs = [], [], [], []
+    rows_qi, rows_qj, rows_rsum = [], [], []
     radius = mission.radius
     for p, (qi, qj) in enumerate(np.asarray(plan.pair_idx)):
         qi, qj = int(qi), int(qj)
@@ -162,6 +195,9 @@ def assemble_batch(
         rows_bj.append(bj)
         rows_n.append(npm)
         rows_rhs.append(rhs.reshape(D))
+        rows_qi.append(qi)
+        rows_qj.append(qj)
+        rows_rsum.append(rsum)
 
     P = len(rows_bi)
     P_pad = pad_pairs if pad_pairs is not None else P
@@ -170,12 +206,18 @@ def assemble_batch(
     pair_n = np.zeros((P_pad, M, 3), dtype=np.float64)
     pair_rhs = np.full((P_pad, D), -BIG, dtype=np.float64)
     pair_mask = np.zeros(P_pad, dtype=np.float64)
+    pair_qi = np.zeros(P_pad, dtype=np.int32)
+    pair_qj = np.zeros(P_pad, dtype=np.int32)
+    pair_rsum = np.zeros(P_pad, dtype=np.float64)
     if P:
         pair_bi[:P] = rows_bi
         pair_bj[:P] = rows_bj
         pair_n[:P] = rows_n
         pair_rhs[:P] = rows_rhs
         pair_mask[:P] = 1.0
+        pair_qi[:P] = rows_qi
+        pair_qj[:P] = rows_qj
+        pair_rsum[:P] = rows_rsum
 
     x0 = dummy[batch_agents].reshape(B, D, 3).transpose(0, 2, 1).copy()
 
@@ -185,5 +227,7 @@ def assemble_batch(
         Qseg=f(Qseg), Aeq=f(Aeq), deq=f(deq), lb=f(lb), ub=f(ub),
         pair_bi=jnp.asarray(pair_bi), pair_bj=jnp.asarray(pair_bj),
         pair_n=f(pair_n), pair_rhs=f(pair_rhs), pair_mask=f(pair_mask),
-        x0=f(x0),
+        x0=f(x0), agents=jnp.asarray(batch_agents, dtype=jnp.int32),
+        pair_qi=jnp.asarray(pair_qi), pair_qj=jnp.asarray(pair_qj),
+        pair_rsum=f(pair_rsum),
     )

@@ -22,7 +22,7 @@ import numpy as np
 
 from .voxel import OccupancyGrid
 
-_BIG = jnp.float32(1e12)
+_BIG = 1e12  # plain float: no jax array creation at import time
 
 
 def _minplus_axis(fsq: jnp.ndarray, axis: int, res: float) -> jnp.ndarray:
@@ -42,21 +42,40 @@ def _minplus_axis(fsq: jnp.ndarray, axis: int, res: float) -> jnp.ndarray:
 def esdf_from_occupancy(occ: jnp.ndarray, *, res: float,
                         max_dist: float = 1.0) -> jnp.ndarray:
     """[X,Y,Z] bool occupancy -> [X,Y,Z] float32 clamped Euclidean distances."""
-    fsq = jnp.where(occ, jnp.float32(0.0), _BIG)
+    fsq = jnp.where(occ, jnp.float32(0.0), jnp.float32(_BIG))
     for axis in range(3):
         fsq = _minplus_axis(fsq, axis, res)
     return jnp.minimum(jnp.sqrt(fsq), jnp.float32(max_dist))
 
 
 class ESDF:
-    """Host-side wrapper bundling the distance tensor with its voxelization."""
+    """Host-side wrapper bundling the distance tensor with its voxelization.
 
-    def __init__(self, grid: OccupancyGrid, max_dist: float = 1.0):
+    Uses the native C++ EDT by default (the ESDF feeds host-side queries:
+    grid obstacle sets, corridor expansion — computing it on a remote
+    accelerator would pay compile + transfer for a ~ms host job).  The XLA
+    op above remains the device-resident path.
+    """
+
+    def __init__(self, grid: OccupancyGrid, max_dist: float = 1.0,
+                 backend: str = "auto"):
         self.grid = grid
         self.max_dist = float(max_dist)
-        self.dist = np.asarray(
-            esdf_from_occupancy(jnp.asarray(grid.occ), res=grid.res,
-                                max_dist=max_dist))
+        dist = None
+        if backend in ("auto", "native"):
+            try:
+                from ..search.native_binding import esdf_native
+                dist = esdf_native(grid.occ, grid.res, max_dist)
+            except Exception:
+                if backend == "native":
+                    raise
+        if dist is None:
+            import jax
+            with jax.default_device(jax.devices("cpu")[0]):
+                dist = np.asarray(
+                    esdf_from_occupancy(jnp.asarray(grid.occ), res=grid.res,
+                                        max_dist=max_dist))
+        self.dist = dist
 
     def query(self, pts: np.ndarray) -> np.ndarray:
         """Distance at world points; -1 outside the map (DynamicEDT semantics)."""

@@ -1,0 +1,72 @@
+"""IO parity tests: .bt worlds, crazyswarm CSV, and the reference's golden
+64-agent solution evaluated with our metrics."""
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from swarm_simulator_tpu.io.coef_csv import (read_coef_csv, write_coef_csv)
+from swarm_simulator_tpu.world.btree import load_bt_world, read_bt
+
+REF = Path("/root/reference/swarm_planner")
+
+
+@pytest.mark.skipif(not REF.exists(), reason="reference not mounted")
+def test_read_bt_reference_worlds():
+    leaves, res = read_bt(REF / "worlds" / "map1.bt")
+    assert res == pytest.approx(0.1)
+    assert len(leaves) > 1000
+    # all leaves inside a sane world AABB, centers on the voxel lattice
+    assert np.all(np.abs(leaves[:, :2]) < 6.0)
+    assert np.all((leaves[:, 2] > -0.1) & (leaves[:, 2] < 3.0))
+    frac = (leaves[:, 0] / 0.05) % 1
+    assert np.allclose(np.minimum(frac, 1 - frac), 0, atol=1e-6)
+
+
+def test_coef_csv_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    M, n = 4, 5
+    coef = rng.normal(size=(M, n + 1, 3))
+    T = np.arange(M + 1, dtype=float) * 1.5
+    write_coef_csv(tmp_path / "c.csv", coef, T, n)
+    coef2, dur = read_coef_csv(tmp_path / "c.csv")
+    np.testing.assert_allclose(dur, 1.5)
+    # read back is degree-7 descending; high-order terms zero
+    np.testing.assert_allclose(coef2[:, :2], 0.0)
+    np.testing.assert_allclose(coef2[:, 2:], coef, rtol=2e-5, atol=1e-6)
+
+
+@pytest.mark.skipif(not REF.exists(), reason="reference not mounted")
+def test_reference_golden_solution_is_collision_free_by_our_metrics():
+    """Load the reference's committed 64-agent solved trajectories and
+    verify OUR evaluator reproduces its acceptance claim (min ellipsoidal
+    ratio >= 1, rbp_publisher.hpp:769-798).  This validates the evaluator
+    against the reference's own artifact."""
+    import jax.numpy as jnp
+
+    from swarm_simulator_tpu.eval.safety import safety_margin_ratio
+    from swarm_simulator_tpu.eval.sample import sample_trajectories
+    from swarm_simulator_tpu.io.mission_json import load_mission
+
+    coefs = []
+    durations = None
+    for qi in range(64):
+        c, dur = read_coef_csv(REF / "log" / f"coef{qi + 1}.csv")
+        coefs.append(c)
+        durations = dur
+    coef = np.stack(coefs)  # [64, M, 8, 3]
+    T = np.concatenate([[0.0], np.cumsum(durations)])
+
+    mission = load_mission(REF / "missions" / "mission_64agents_15.json")
+    ts = np.arange(0.0, T[-1] + 1e-9, 0.1)
+    states = np.asarray(sample_trajectories(
+        jnp.asarray(coef), jnp.asarray(T), jnp.asarray(ts), n=7,
+        derivatives=1))
+    pos = states[:, :, 0]
+    ratio = float(safety_margin_ratio(jnp.asarray(pos),
+                                      jnp.asarray(mission.radius),
+                                      downwash=2.0))
+    assert ratio >= 1.0 - 1e-6, ratio
+
+    # trajectories start/end reasonably within the world
+    assert np.all(np.abs(pos[:, :, :2]) < 5.5)
