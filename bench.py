@@ -58,7 +58,8 @@ def main():
 
     plan, mission, param = build_problem()
     N = mission.qn
-    settings = admm.ADMMSettings(max_iter=1000, eps_abs=1e-4, eps_rel=1e-4)
+    settings = admm.ADMMSettings(max_iter=2000, eps_abs=1e-4, eps_rel=1e-4,
+                             kkt_solver="cg", adaptive_rho=True)
 
     batches, batch_iter = seqbatch.make_batches(N, param)
     dummy = assemble.build_dummy(plan.init_traj, param.n)
@@ -71,17 +72,24 @@ def main():
     n_batches = len(datas)
 
     # --- accelerator: batched Jacobi throughput (solves/s/chip) ---
+    import dataclasses
     S = 4  # scenario replication to saturate the chip
     big = jax.tree.map(
         lambda x: jnp.broadcast_to(x[None], (S,) + x.shape).reshape(
             (S * n_batches,) + x.shape[1:]), stacked)
-    xs, info = admm.solve_qp_batched(big, settings)  # compile
+
+    # per-rep jitter on the warm start defeats any remote execution cache
+    # for identical (program, inputs) pairs while keeping one compilation
+    run_batched = jax.jit(
+        lambda d, j: admm.solve_qp_batched(
+            dataclasses.replace(d, x0=d.x0 + j), settings))
+    xs, info = run_batched(big, jnp.float32(0.0))  # compile
     jax.block_until_ready(xs)
     t0 = time.perf_counter()
     reps = 3
-    for _ in range(reps):
-        xs, info = admm.solve_qp_batched(big, settings)
-        jax.block_until_ready(xs)
+    for r in range(reps):
+        xs, info = run_batched(big, jnp.float32(1e-6 * (r + 1)))
+        np.asarray(xs)  # full device->host materialization
     dt_batched = (time.perf_counter() - t0) / reps
     solves_per_s = S * n_batches / dt_batched
     log(f"device batched: {S*n_batches} solves in {dt_batched:.3f}s -> "
@@ -89,12 +97,15 @@ def main():
         f"  r_prim_max={np.asarray(info.r_prim).max():.2e}")
 
     # --- per-cycle latency: one Gauss-Seidel sweep of 16 batches ---
-    x1, i1 = admm.solve_qp(datas[0], settings)
+    run_one = jax.jit(
+        lambda d, j: admm.solve_qp(
+            dataclasses.replace(d, x0=d.x0 + j), settings))
+    x1, i1 = run_one(datas[0], jnp.float32(0.0))
     jax.block_until_ready(x1)
     t0 = time.perf_counter()
-    for d in datas:
-        x1, i1 = admm.solve_qp(d, settings)
-        jax.block_until_ready(x1)
+    for ri, d in enumerate(datas):
+        x1, i1 = run_one(d, jnp.float32(1e-6 * (ri + 1)))
+        np.asarray(x1)
     dt_cycle = time.perf_counter() - t0
     log(f"sequential cycle ({n_batches} batches): {dt_cycle:.3f}s")
 
@@ -102,12 +113,15 @@ def main():
     cpu = jax.devices("cpu")[0]
     data_cpu = jax.tree.map(lambda x: jax.device_put(x, cpu), datas[0])
     with jax.default_device(cpu):
-        xc, ic = admm.solve_qp(data_cpu, settings)  # compile
+        run_cpu = jax.jit(
+            lambda d, j: admm.solve_qp(
+                dataclasses.replace(d, x0=d.x0 + j), settings))
+        xc, ic = run_cpu(data_cpu, jnp.float32(0.0))  # compile
         jax.block_until_ready(xc)
         t0 = time.perf_counter()
-        for _ in range(2):
-            xc, ic = admm.solve_qp(data_cpu, settings)
-            jax.block_until_ready(xc)
+        for r in range(2):
+            xc, ic = run_cpu(data_cpu, jnp.float32(1e-6 * (r + 1)))
+            np.asarray(xc)
         dt_cpu = (time.perf_counter() - t0) / 2
     cpu_solves_per_s = 1.0 / dt_cpu
     log(f"cpu single-problem: {dt_cpu:.3f}s/solve -> "

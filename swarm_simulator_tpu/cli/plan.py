@@ -44,6 +44,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--time-step", type=float, default=1.0)
     p.add_argument("--downwash", type=float, default=2.0)
     p.add_argument("--no-time-scale", action="store_true")
+    p.add_argument("--flat", action="store_true",
+                   help="flat-corridor variant (rbp_flat entry)")
     p.add_argument("--sequential", action="store_true")
     p.add_argument("--batch-size", type=int, default=4)
     p.add_argument("--batch-iter", type=int, default=-1)
@@ -86,6 +88,7 @@ def main(argv=None) -> int:
         downwash=args.downwash, sequential=args.sequential,
         batch_size=args.batch_size, batch_iter=args.batch_iter,
         iteration=args.iteration, parallel_mode=args.parallel_mode,
+        corridor_mode="flat" if args.flat else "rbp",
         solver_dtype=args.dtype, solver_max_iter=args.max_iter,
     )
 

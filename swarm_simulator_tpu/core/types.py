@@ -78,7 +78,9 @@ class Param:
     # --- TPU-framework extensions (no reference counterpart) ---
     world_resolution: float = 0.1  # occupancy voxel size (octomap res)
     esdf_max_dist: float = 1.0  # EDT clamp (swarm_traj_planner_rbp.cpp:75)
+    corridor_mode: str = "rbp"  # "rbp" | "flat" (update_flat_box variant)
     solver_dtype: str = "float32"  # "float32" on TPU, "float64" for parity
+    solver_kkt: str = "auto"  # "auto" | "dense" | "cg" (see qp/admm.py)
     solver_max_iter: int = 2000
     solver_eps_abs: float = 1e-4
     solver_eps_rel: float = 1e-4

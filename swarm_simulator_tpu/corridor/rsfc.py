@@ -59,6 +59,32 @@ def pair_separating_planes(init_traj: jnp.ndarray, pair_idx: jnp.ndarray,
     return normal, dmin
 
 
+def _pair_planes_numpy(init_traj: np.ndarray, pair_idx: np.ndarray,
+                       downwash: float):
+    """Numpy twin of pair_separating_planes for the host pipeline (same
+    math; avoids a one-time XLA compile for a sub-ms op)."""
+    scale = np.array([1.0, 1.0, 1.0 / downwash])
+    rel = (init_traj[pair_idx[:, 1]] - init_traj[pair_idx[:, 0]]) * scale
+    a, b = rel[:, :-1, :], rel[:, 1:, :]
+    na = np.linalg.norm(a, axis=-1)
+    nb = np.linalg.norm(b, axis=-1)
+    m = np.where((nb < na)[..., None], b, a)
+    dmin = np.minimum(na, nb)
+    seg = b - a
+    seg_len = np.linalg.norm(seg, axis=-1, keepdims=True)
+    degenerate = seg_len[..., 0] < 1e-12
+    n_hat = seg / np.where(seg_len > 0, seg_len, 1.0)
+    c = a - n_hat * np.sum(a * n_hat, axis=-1, keepdims=True)
+    interior = np.sum((c - a) * (c - b), axis=-1) < 0
+    nc = np.linalg.norm(c, axis=-1)
+    use_c = interior & (dmin > nc) & ~degenerate
+    m = np.where(use_c[..., None], c, m)
+    dmin = np.where(use_c, nc, dmin)
+    norm_m = np.linalg.norm(m, axis=-1, keepdims=True)
+    normal = m / np.where(norm_m > 0, norm_m, 1.0) * scale
+    return normal, dmin
+
+
 def build_rsfc(init_traj: np.ndarray, downwash: float):
     """Host entry: returns (pair_idx [P,2], normals [P,M,3]).
 
@@ -72,13 +98,7 @@ def build_rsfc(init_traj: np.ndarray, downwash: float):
     if len(pair_idx) == 0:
         M = init_traj.shape[1] - 1
         return pair_idx, np.zeros((0, M, 3))
-    # host-prep computation: pin to CPU so a remote accelerator doesn't pay
-    # compile+transfer for a sub-ms tensor op
-    with jax.default_device(jax.devices("cpu")[0]):
-        normals, dmin = pair_separating_planes(
-            jnp.asarray(init_traj), jnp.asarray(pair_idx),
-            downwash=float(downwash))
-    dmin = np.asarray(dmin)
+    normals, dmin = _pair_planes_numpy(init_traj, pair_idx, float(downwash))
     if np.any(dmin <= 0):
         p, m = np.argwhere(dmin <= 0)[0]
         raise ValueError(

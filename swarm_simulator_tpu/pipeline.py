@@ -59,7 +59,11 @@ def plan(
     times.init_traj = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    build_corridors(esdf, result, mission.radius, param)
+    if param.corridor_mode == "flat":
+        from .corridor.flat import build_flat_corridors
+        build_flat_corridors(esdf, result, mission, param)
+    else:
+        build_corridors(esdf, result, mission.radius, param)
     times.corridor = time.perf_counter() - t0
 
     t0 = time.perf_counter()

@@ -39,6 +39,18 @@ class ADMMSettings:
     eps_abs: float = 1e-4
     eps_rel: float = 1e-4
     scaling: bool = True  # Ruiz equilibration (required for float32)
+    # KKT linear-system strategy:
+    #   "dense": explicit inverse, one [nx, nx] matmul per iteration —
+    #            best for small batches, memory O(nx^2)
+    #   "cg":    exploit K = I_{3B} (x) base + pointwise pair coupling
+    #            (base is IDENTICAL for every agent and axis — Qseg, Aeq
+    #            and the Ruiz scaling are all shared), preconditioned CG
+    #            with base^-1 — memory O(D^2 + D*(3B)^2), makes the joint
+    #            64-agent solve feasible and cuts HBM traffic ~25x
+    kkt_solver: str = "dense"
+    cg_iters: int = 12
+    check_every: int = 25  # residual/termination check interval
+    adaptive_rho: bool = True  # cg mode only (preconditioner rebuild ~free)
 
 
 class Constr(NamedTuple):
@@ -109,45 +121,125 @@ def _rho_vec(data: QPData, s: ADMMSettings) -> Constr:
     )
 
 
-def build_kkt_inverse(data: QPData, s: ADMMSettings) -> jnp.ndarray:
-    """K^-1 for K = P + sigma I + A^T diag(rho) A, exploiting structure."""
+class KKTOperator(NamedTuple):
+    """Either a dense inverse or the (base, coupling) structured operator.
+
+    cg mode splits rho out so adaptive-rho updates only rebuild the tiny
+    [D, D] preconditioner: base(rho) = base0 + rho * base1, and the pair
+    coupling is stored unscaled (multiplied by rho at matvec time)."""
+    Kinv: jnp.ndarray | None  # [nx, nx] (dense mode)
+    base0: jnp.ndarray | None  # [D, D] blockdiag(Qseg) + sigma I
+    base1: jnp.ndarray | None  # [D, D] I + rho_eq_scale Aeq^T Aeq
+    coupling: jnp.ndarray | None  # [M, B3, B3] (cg mode, rho NOT applied)
+
+
+def _build_base_parts(data: QPData, s: ADMMSettings):
+    """base(rho) = base0 + rho * base1, the per-(agent, axis) KKT block
+    [D, D] — identical for every agent and axis."""
     M, npp, _ = data.Qseg.shape
     D = M * npp
-    B = data.lb.shape[0]
-    B3 = 3 * B
     dt = data.lb.dtype
-    rho_eq = s.rho * s.rho_eq_scale
-
-    # per-(agent,axis) base block [D, D]
-    base = jnp.zeros((D, D), dtype=dt)
+    base0 = jnp.zeros((D, D), dtype=dt)
     seg_ids = jnp.arange(M)
-    # blockdiag(Qseg)
-    base = base.reshape(M, npp, M, npp).at[seg_ids, :, seg_ids, :].add(
+    base0 = base0.reshape(M, npp, M, npp).at[seg_ids, :, seg_ids, :].add(
         data.Qseg).reshape(D, D)
-    base = base + (s.sigma + s.rho) * jnp.eye(D, dtype=dt)
-    base = base + rho_eq * data.Aeq.T @ data.Aeq
+    base0 = base0 + s.sigma * jnp.eye(D, dtype=dt)
+    base1 = jnp.eye(D, dtype=dt) + s.rho_eq_scale * data.Aeq.T @ data.Aeq
+    return base0, base1
 
-    # pair coupling: for pair p, row d: value c_b n[p, m(d), k] on var (b,k,d)
+
+def _build_coupling(data: QPData, s: ADMMSettings) -> jnp.ndarray:
+    """Pair-constraint normal-equation coupling [M, B3, B3]: acts pointwise
+    in the control-point index, coupling axes and agents of the same d."""
+    M = data.Qseg.shape[0]
+    B = data.lb.shape[0]
+    dt = data.lb.dtype
     cj = (data.pair_bj >= 0).astype(dt) * data.pair_mask
     ci = (data.pair_bi >= 0).astype(dt) * data.pair_mask
     P = data.pair_n.shape[0]
     C = jnp.zeros((P, B), dtype=dt)
     C = C.at[jnp.arange(P), jnp.clip(data.pair_bj, 0, None)].add(cj)
     C = C.at[jnp.arange(P), jnp.clip(data.pair_bi, 0, None)].add(-ci)
-    # coupling[m, (b,k), (b2,k2)] = rho * sum_p C[p,b] n[p,m,k] C[p,b2] n[p,m,k2]
-    coupling = s.rho * jnp.einsum(
+    coupling = jnp.einsum(
         "pb,pmk,pc,pml->mbkcl", C, data.pair_n, C, data.pair_n
-    ).reshape(M, B3, B3)
-    coupling_d = jnp.repeat(coupling, npp, axis=0)  # [D, B3, B3]
+    ).reshape(M, 3 * B, 3 * B)
+    return coupling  # NOTE: rho applied at matvec time
 
-    K = jnp.einsum("ab,de->adbe", jnp.eye(B3, dtype=dt), base)  # [B3,D,B3,D]
+
+def build_kkt_operator(data: QPData, s: ADMMSettings) -> KKTOperator:
+    M, npp, _ = data.Qseg.shape
+    D = M * npp
+    B = data.lb.shape[0]
+    B3 = 3 * B
+    dt = data.lb.dtype
+
+    base0, base1 = _build_base_parts(data, s)
+    coupling = _build_coupling(data, s)
+
+    if s.kkt_solver == "cg":
+        return KKTOperator(Kinv=None, base0=base0, base1=base1,
+                           coupling=coupling)
+
+    base = base0 + s.rho * base1
+    coupling_d = jnp.repeat(s.rho * coupling, npp, axis=0)  # [D, B3, B3]
+    K = jnp.einsum("ab,de->adbe", jnp.eye(B3, dtype=dt), base)
     d_ids = jnp.arange(D)
     K = K.at[:, d_ids, :, d_ids].add(coupling_d)
     nx = B3 * D
     K = K.reshape(nx, nx)
-
     cho = jax.scipy.linalg.cho_factor(K)
-    return jax.scipy.linalg.cho_solve(cho, jnp.eye(nx, dtype=dt))
+    Kinv = jax.scipy.linalg.cho_solve(cho, jnp.eye(nx, dtype=dt))
+    return KKTOperator(Kinv=Kinv, base0=None, base1=None, coupling=None)
+
+
+def _kkt_matvec(op: KKTOperator, base: jnp.ndarray, rho_s,
+                x: jnp.ndarray) -> jnp.ndarray:
+    """K(rho) @ x for the structured operator; x [B, 3, D]."""
+    B, K3, D = x.shape
+    M = op.coupling.shape[0]
+    npp = D // M
+    out = jnp.einsum("de,bke->bkd", base, x)
+    xm = x.reshape(B * K3, M, npp)
+    coup = rho_s * jnp.einsum("mij,jmp->imp", op.coupling, xm)
+    return out + coup.reshape(x.shape)
+
+
+def kkt_solve(op: KKTOperator, base: jnp.ndarray, base_inv: jnp.ndarray,
+              rho_s, rhs: jnp.ndarray, x0: jnp.ndarray,
+              s: ADMMSettings) -> jnp.ndarray:
+    """Solve K x = rhs: dense inverse matmul, or preconditioned CG warm-
+    started from the previous ADMM x-solution."""
+    if op.Kinv is not None:
+        shape = rhs.shape
+        return (op.Kinv @ rhs.reshape(-1)).reshape(shape)
+
+    def dot(a, b):
+        return jnp.vdot(a, b)
+
+    def precond(r):
+        return jnp.einsum("de,bke->bkd", base_inv, r)
+
+    x = x0
+    r = rhs - _kkt_matvec(op, base, rho_s, x)
+    z = precond(r)
+    p = z
+    rz = dot(r, z)
+
+    def body(_, carry):
+        x, r, p, rz = carry
+        Kp = _kkt_matvec(op, base, rho_s, p)
+        denom = dot(p, Kp)
+        alpha = rz / jnp.where(denom != 0, denom, 1.0)
+        x = x + alpha * p
+        r = r - alpha * Kp
+        z = precond(r)
+        rz_new = dot(r, z)
+        beta = rz_new / jnp.where(rz != 0, rz, 1.0)
+        p = z + beta * p
+        return x, r, p, rz_new
+
+    x, r, p, rz = jax.lax.fori_loop(0, s.cg_iters, body, (x, r, p, rz))
+    return x
 
 
 def _prepare(data: QPData, s: ADMMSettings):
@@ -161,8 +253,8 @@ def _prepare(data: QPData, s: ADMMSettings):
         sdata, scal = equilibrate(data)
     else:
         sdata, scal = data, None
-    Kinv = build_kkt_inverse(sdata, s)
-    return sdata, scal, Kinv
+    op = build_kkt_operator(sdata, s)
+    return sdata, scal, op
 
 
 def solve_single(data: QPData, s: ADMMSettings) -> tuple[jnp.ndarray, SolveInfo]:
@@ -172,26 +264,26 @@ def solve_single(data: QPData, s: ADMMSettings) -> tuple[jnp.ndarray, SolveInfo]
     bfloat16 passes by default, which destroys ADMM convergence (the
     K^-1 @ rhs product needs full f32)."""
     with jax.default_matmul_precision("highest"):
-        sdata, scal, Kinv = _prepare(data, s)
-        return _iterate(data, sdata, scal, Kinv, s)
+        sdata, scal, op = _prepare(data, s)
+        return _iterate(data, sdata, scal, op, s)
 
 
-def _iterate(orig: QPData, data: QPData, scal, Kinv: jnp.ndarray,
+def _iterate(orig: QPData, data: QPData, scal, op: KKTOperator,
              s: ADMMSettings) -> tuple[jnp.ndarray, SolveInfo]:
     B, K3, D = data.lb.shape
-    shape = (B, K3, D)
-    nx = B * K3 * D
     dt = data.lb.dtype
 
     n_d = _pair_nd(data)
     n_d_orig = _pair_nd(orig)
     l, u = _bounds(data)
-    rho = _rho_vec(data, s)
+
+    def rho_groups(rho_s):
+        return Constr(eq=rho_s * s.rho_eq_scale, box=rho_s, pair=rho_s)
 
     def unscale_x(xb):
         return xb * scal.d if scal is not None else xb
 
-    def unscale_y(yb: Constr) -> Constr:
+    def unscale_y(yb: Constr, rho_s) -> Constr:
         if scal is None:
             return yb
         return Constr(eq=yb.eq * scal.e_eq / scal.c,
@@ -207,6 +299,7 @@ def _iterate(orig: QPData, data: QPData, scal, Kinv: jnp.ndarray,
 
     tmap = jax.tree.map
     x = data.x0
+    rho0 = jnp.asarray(s.rho, dt)
     z = A_matvec(data, x, n_d)
     z = tmap(jnp.clip, z, l, u)
     y = tmap(jnp.zeros_like, z)
@@ -215,52 +308,82 @@ def _iterate(orig: QPData, data: QPData, scal, Kinv: jnp.ndarray,
     eps_rel = jnp.asarray(s.eps_rel, dt)
     alpha = jnp.asarray(s.alpha, dt)
     sigma = jnp.asarray(s.sigma, dt)
+    adaptive = s.adaptive_rho and s.kkt_solver == "cg"
+
+    def make_base(rho_s):
+        if op.Kinv is not None:
+            return None, None
+        base = op.base0 + rho_s * op.base1
+        return base, jnp.linalg.inv(base)
 
     def tmax(tree) -> jnp.ndarray:
         vals = [jnp.max(jnp.abs(v)) for v in tree if v.size > 0]
         return jnp.max(jnp.array(vals)) if vals else jnp.asarray(0.0, dt)
 
-    def body(state):
-        x, z, y, it, _ = state
+    def admm_step(carry, _):
+        x, z, y, x_t_prev, rho_s, base, base_inv = carry
+        rho = rho_groups(rho_s)
         rhs = sigma * x + AT_matvec(
             data, tmap(lambda r, zz, yy: r * zz - yy, rho, z, y), n_d)
-        x_t = (Kinv @ rhs.reshape(nx)).reshape(shape)
+        x_t = kkt_solve(op, base, base_inv, rho_s, rhs, x_t_prev, s)
         ax_t = A_matvec(data, x_t, n_d)
         x_new = alpha * x_t + (1 - alpha) * x
         v = tmap(lambda a_, zz, yy, r: alpha * a_ + (1 - alpha) * zz + yy / r,
                  ax_t, z, y, rho)
         z_new = tmap(jnp.clip, v, l, u)
         y_new = tmap(lambda vv, zz, r: r * (vv - zz), v, z_new, rho)
+        return (x_new, z_new, y_new, x_t, rho_s, base, base_inv), None
 
-        # termination on *unscaled* residuals (OSQP sec. 3.4 + 5.1)
-        xu = unscale_x(x_new)
-        yu = unscale_y(y_new)
-        zu = unscale_z(z_new)
+    def residuals(x, z, y, rho_s):
+        """Unscaled residuals + scaled tolerances (OSQP sec. 3.4 + 5.1)."""
+        xu = unscale_x(x)
+        yu = unscale_y(y, rho_s)
+        zu = unscale_z(z)
         ax = A_matvec(orig, xu, n_d_orig)
         px = P_matvec(orig, xu)
         aty = AT_matvec(orig, yu, n_d_orig)
         r_prim = tmax(tmap(lambda a_, zz: a_ - zz, ax, zu))
         r_dual = tmax([px + aty])
-        eps_prim = eps_abs + eps_rel * jnp.maximum(tmax(ax), tmax(z_new))
-        eps_dual = eps_abs + eps_rel * jnp.maximum(tmax([px]), tmax([aty]))
-        done = (r_prim <= eps_prim) & (r_dual <= eps_dual)
-        return x_new, z_new, y_new, it + 1, done
+        n_prim = jnp.maximum(tmax(ax), tmax(zu))
+        n_dual = jnp.maximum(tmax([px]), tmax([aty]))
+        return r_prim, r_dual, n_prim, n_dual
 
-    def cond(state):
-        _, _, _, it, done = state
+    def outer_body(state):
+        x, z, y, x_t, rho_s, base, base_inv, it, _ = state
+        carry = (x, z, y, x_t, rho_s, base, base_inv)
+        carry, _ = jax.lax.scan(admm_step, carry, None, length=s.check_every)
+        x, z, y, x_t, rho_s, base, base_inv = carry
+
+        r_prim, r_dual, n_prim, n_dual = residuals(x, z, y, rho_s)
+        eps_prim = eps_abs + eps_rel * n_prim
+        eps_dual = eps_abs + eps_rel * n_dual
+        done = (r_prim <= eps_prim) & (r_dual <= eps_dual)
+
+        if adaptive:
+            # OSQP adaptive rho: balance normalized residuals
+            tiny = jnp.asarray(1e-10, dt)
+            ratio = jnp.sqrt((r_prim / jnp.maximum(n_prim, tiny)) /
+                             jnp.maximum(r_dual / jnp.maximum(n_dual, tiny),
+                                         tiny))
+            rho_new = jnp.clip(rho_s * jnp.clip(ratio, 0.1, 10.0),
+                               1e-6, 1e6)
+            rho_s = jnp.where(done, rho_s, rho_new)
+            base, base_inv = make_base(rho_s)
+
+        return x, z, y, x_t, rho_s, base, base_inv, it + s.check_every, done
+
+    def outer_cond(state):
+        it, done = state[-2], state[-1]
         return (it < s.max_iter) & ~done
 
-    state = (x, z, y, jnp.asarray(0), jnp.asarray(False))
-    x, z, y, it, _ = jax.lax.while_loop(cond, body, state)
+    base, base_inv = make_base(rho0)
+    state = (x, z, y, x, rho0, base, base_inv, jnp.asarray(0),
+             jnp.asarray(False))
+    x, z, y, _, rho_s, _, _, it, _ = jax.lax.while_loop(
+        outer_cond, outer_body, state)
 
-    # final unscaled residuals for reporting
+    r_prim, r_dual, _, _ = residuals(x, z, y, rho_s)
     xu = unscale_x(x)
-    yu = unscale_y(y)
-    zu = unscale_z(z)
-    ax = A_matvec(orig, xu, n_d_orig)
-    r_prim = tmax(tmap(lambda a_, zz: a_ - zz, ax, zu))
-    r_dual = tmax([P_matvec(orig, xu) + AT_matvec(orig, yu, n_d_orig)])
-
     obj = 0.5 * jnp.vdot(xu, P_matvec(orig, xu))
     return xu, SolveInfo(iters=it, r_prim=r_prim, r_dual=r_dual, obj=obj)
 

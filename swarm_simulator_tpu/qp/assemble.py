@@ -122,19 +122,26 @@ def build_deq(mission: Mission, agents: np.ndarray, M: int, phi: int) -> np.ndar
     return deq
 
 
-def build_dummy(init_traj: np.ndarray, n: int) -> np.ndarray:
+def build_dummy(init_traj: np.ndarray, n: int,
+                M: int | None = None) -> np.ndarray:
     """Warm-start control points from the discrete path: first half of each
     segment's control points at the segment start waypoint, second half at
-    the end waypoint (build_dummy, rbp_planner.hpp:513-549).
+    the end waypoint; segments beyond the path length sit at the last
+    waypoint (build_dummy, rbp_planner.hpp:513-549 including the
+    idx >= size-1 clamp).
 
-    init_traj [N, M+1, 3] -> dummy [N, M, n+1, 3].
+    init_traj [N, L, 3] -> dummy [N, M, n+1, 3] (M defaults to L-1; the
+    flat-corridor variant has M > L-1).
     """
     N, L, _ = init_traj.shape
-    M = L - 1
-    dummy = np.zeros((N, M, n + 1, 3), dtype=np.float64)
+    if M is None:
+        M = L - 1
     half = (n + 1) // 2
-    dummy[:, :, :half, :] = init_traj[:, :M, None, :]
-    dummy[:, :, half:, :] = init_traj[:, 1:, None, :]
+    idx0 = np.minimum(np.arange(M), L - 1)
+    idx1 = np.minimum(np.arange(M) + 1, L - 1)
+    dummy = np.zeros((N, M, n + 1, 3), dtype=np.float64)
+    dummy[:, :, :half, :] = init_traj[:, idx0, None, :]
+    dummy[:, :, half:, :] = init_traj[:, idx1, None, :]
     return dummy
 
 

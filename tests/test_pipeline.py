@@ -58,3 +58,31 @@ def test_eight_agent_forest():
     result, times = plan(mission, param, world, search_backend="python")
     metrics = evaluate(result, mission, param)
     _check(result, metrics, param)
+
+
+def test_rsfc_numpy_matches_jax():
+    import jax.numpy as jnp
+
+    from swarm_simulator_tpu.corridor.rsfc import (_pair_planes_numpy,
+                                                   pair_separating_planes)
+    rng = np.random.default_rng(2)
+    init_traj = rng.normal(size=(5, 7, 3)) * 2
+    iu, ju = np.triu_indices(5, k=1)
+    pair_idx = np.stack([iu, ju], axis=1).astype(np.int32)
+    n_np, d_np = _pair_planes_numpy(init_traj, pair_idx, 2.0)
+    n_jx, d_jx = pair_separating_planes(jnp.asarray(init_traj),
+                                        jnp.asarray(pair_idx), downwash=2.0)
+    np.testing.assert_allclose(n_np, np.asarray(n_jx), atol=1e-12)
+    np.testing.assert_allclose(d_np, np.asarray(d_jx), atol=1e-12)
+
+
+def test_two_agent_swap_flat_corridor():
+    param = Param(world_z_min=0.0, solver_dtype="float64", grid_xy_res=0.5,
+                  grid_z_res=0.5, corridor_mode="flat")
+    mission = swap_mission(2, z=0.5, span=1.0, radius=0.25)
+    result, times = plan(mission, param, search_backend="python")
+    metrics = evaluate(result, mission, param)
+    _check(result, metrics, param)
+    # flat RSFC normals are axis-aligned sector vectors
+    nz = result.pair_normals[np.abs(result.pair_normals) > 1e-12]
+    assert np.all(np.isin(np.abs(nz), [1.0, 0.5])), nz

@@ -188,3 +188,15 @@ def test_sequential_one_sided_pairs():
     ctrl = convert.x_to_ctrl(np.asarray(x), plan.M, param.n)
     # dummy of agent 1 has y = +0.5; constraint: 0.5 - y_0 >= 0.3
     assert ctrl[0, :, :, 1].max() <= 0.2 + 1e-5
+
+
+def test_cg_kkt_matches_dense():
+    plan, mission, param = _tiny_problem(n_agents=2, M=4)
+    dummy = assemble.build_dummy(plan.init_traj, param.n)
+    data = assemble.assemble_batch(plan, mission, param, np.array([0, 1]),
+                                   dummy)
+    s = dict(max_iter=6000, eps_abs=1e-8, eps_rel=1e-8)
+    xd, _ = admm.solve_qp(data, admm.ADMMSettings(**s))
+    xc, info = admm.solve_qp(data, admm.ADMMSettings(
+        kkt_solver="cg", cg_iters=15, **s))
+    np.testing.assert_allclose(np.asarray(xc), np.asarray(xd), atol=1e-6)
