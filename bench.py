@@ -53,6 +53,12 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # persistent compilation cache: repeated bench runs skip the (slow)
+    # remote TPU compiles
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from swarm_simulator_tpu.parallel import seqbatch
     from swarm_simulator_tpu.qp import admm, assemble
 

@@ -44,6 +44,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--time-step", type=float, default=1.0)
     p.add_argument("--downwash", type=float, default=2.0)
     p.add_argument("--no-time-scale", action="store_true")
+    p.add_argument("--alg", choices=["rbp", "scp"], default="rbp",
+                   help="rbp: Bernstein corridor QP; scp: discrete-time "
+                        "sequential convex programming baseline")
     p.add_argument("--flat", action="store_true",
                    help="flat-corridor variant (rbp_flat entry)")
     p.add_argument("--sequential", action="store_true")
@@ -105,6 +108,9 @@ def main(argv=None) -> int:
             h_min=args.obs_h_min, h_max=args.obs_h_max,
             margin=args.obs_margin, seed=args.forest_seed)
 
+    if args.alg == "scp":
+        return _run_scp(mission, param, args)
+
     result, times = sst.plan(mission, param, world)
     metrics = sst.evaluate(result, mission, param)
 
@@ -127,6 +133,35 @@ def main(argv=None) -> int:
         print("RESULT:", "collision-free" if ok else "COLLISION")
         return 0 if ok else 1
     return 0
+
+
+def _run_scp(mission, param, args) -> int:
+    """SCP baseline (swarm_traj_planner_scp.cpp: obstacle-free world,
+    0.01 start noise in the reference; noise omitted for determinism)."""
+    import numpy as np
+
+    from swarm_simulator_tpu.qp.scp import plan_scp
+
+    res = plan_scp(mission, param)
+    pos = res.pos  # [3, N, K]
+    dists = []
+    N = pos.shape[1]
+    for i in range(N):
+        for j in range(i + 1, N):
+            d = np.linalg.norm(pos[:, i] - pos[:, j], axis=0)
+            dists.append(d.min() / (mission.radius[i] + mission.radius[j]))
+    ratio = min(dists) if dists else float("inf")
+    goal_err = float(np.max(np.abs(pos[:, :, -1].T - mission.goal[:, :3])))
+    print(f"SCP: K={res.K} h={res.h} scp_iterations={res.iterations} "
+          f"cost={res.cost:.4f}")
+    print(f"  min_dist_ratio: {ratio:.4f}")
+    print(f"  goal_err: {goal_err:.6f}")
+    # SCP enforces (linearized) separation at discrete timesteps only —
+    # like the reference (scp_planner.hpp:253-291) — so allow discretization
+    # slack on the ratio check
+    ok = ratio >= 0.99 and goal_err < 1e-2
+    print("RESULT:", "collision-free" if ok else "CHECK FAILED")
+    return 0 if ok else 1
 
 
 if __name__ == "__main__":

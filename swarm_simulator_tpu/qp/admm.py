@@ -67,33 +67,43 @@ class SolveInfo(NamedTuple):
     obj: jnp.ndarray
 
 
-def _pair_nd(data: QPData) -> jnp.ndarray:
-    """[P, 3, D] dense per-control-point normals (n repeated n+1 times)."""
+class PairOp(NamedTuple):
+    """Gather-free pair-constraint operator: selection matrix S = C_j - C_i
+    [P, B] (one-hot rows) plus dense per-control-point normals.  TPU
+    gathers/scatter-adds are slow and shape-hostile; as matmuls the pair
+    block rides the MXU."""
+    n_d: jnp.ndarray  # [P, 3, D]
+    S: jnp.ndarray  # [P, B]
+
+
+def _pair_op(data: QPData) -> PairOp:
     P, M, _ = data.pair_n.shape
     npp = data.lb.shape[-1] // M
+    B = data.lb.shape[0]
     n_d = jnp.repeat(data.pair_n, npp, axis=1)  # [P, D, 3]
-    return n_d.transpose(0, 2, 1) * data.pair_mask[:, None, None]
+    n_d = n_d.transpose(0, 2, 1) * data.pair_mask[:, None, None]
+    dt = data.lb.dtype
+    cj = (data.pair_bj >= 0).astype(dt) * data.pair_mask
+    ci = (data.pair_bi >= 0).astype(dt) * data.pair_mask
+    rows = jnp.arange(P)
+    S = jnp.zeros((P, B), dt)
+    S = S.at[rows, jnp.clip(data.pair_bj, 0, None)].add(cj)
+    S = S.at[rows, jnp.clip(data.pair_bi, 0, None)].add(-ci)
+    return PairOp(n_d=n_d, S=S)
 
 
-def A_matvec(data: QPData, x: jnp.ndarray, n_d: jnp.ndarray) -> Constr:
+def A_matvec(data: QPData, x: jnp.ndarray, pop: PairOp) -> Constr:
     eq = jnp.einsum("rd,bkd->bkr", data.Aeq, x)
-    cj = (data.pair_bj >= 0).astype(x.dtype)
-    ci = (data.pair_bi >= 0).astype(x.dtype)
-    xj = x[jnp.clip(data.pair_bj, 0, None)]  # [P, 3, D]
-    xi = x[jnp.clip(data.pair_bi, 0, None)]
-    diff = cj[:, None, None] * xj - ci[:, None, None] * xi
-    pair = jnp.sum(n_d * diff, axis=1)  # [P, D]
+    xs = jnp.einsum("pb,bkd->pkd", pop.S, x)  # [P, 3, D]
+    pair = jnp.einsum("pkd,pkd->pd", pop.n_d, xs)
     return Constr(eq=eq, box=x, pair=pair)
 
 
-def AT_matvec(data: QPData, y: Constr, n_d: jnp.ndarray) -> jnp.ndarray:
+def AT_matvec(data: QPData, y: Constr, pop: PairOp) -> jnp.ndarray:
     out = jnp.einsum("rd,bkr->bkd", data.Aeq, y.eq)
     out = out + y.box
-    cj = (data.pair_bj >= 0).astype(out.dtype)
-    ci = (data.pair_bi >= 0).astype(out.dtype)
-    contrib = n_d * y.pair[:, None, :]  # [P, 3, D]
-    out = out.at[jnp.clip(data.pair_bj, 0, None)].add(cj[:, None, None] * contrib)
-    out = out.at[jnp.clip(data.pair_bi, 0, None)].add(-ci[:, None, None] * contrib)
+    contrib = pop.n_d * y.pair[:, None, :]  # [P, 3, D]
+    out = out + jnp.einsum("pb,pkd->bkd", pop.S, contrib)
     return out
 
 
@@ -273,8 +283,8 @@ def _iterate(orig: QPData, data: QPData, scal, op: KKTOperator,
     B, K3, D = data.lb.shape
     dt = data.lb.dtype
 
-    n_d = _pair_nd(data)
-    n_d_orig = _pair_nd(orig)
+    n_d = _pair_op(data)
+    n_d_orig = _pair_op(orig)
     l, u = _bounds(data)
 
     def rho_groups(rho_s):
@@ -360,14 +370,16 @@ def _iterate(orig: QPData, data: QPData, scal, op: KKTOperator,
         done = (r_prim <= eps_prim) & (r_dual <= eps_dual)
 
         if adaptive:
-            # OSQP adaptive rho: balance normalized residuals
+            # OSQP adaptive rho: balance normalized residuals, but only
+            # jump when the imbalance exceeds 5x — continuous updates keep
+            # perturbing the fixed point and stall convergence
             tiny = jnp.asarray(1e-10, dt)
             ratio = jnp.sqrt((r_prim / jnp.maximum(n_prim, tiny)) /
                              jnp.maximum(r_dual / jnp.maximum(n_dual, tiny),
                                          tiny))
-            rho_new = jnp.clip(rho_s * jnp.clip(ratio, 0.1, 10.0),
-                               1e-6, 1e6)
-            rho_s = jnp.where(done, rho_s, rho_new)
+            rho_cand = jnp.clip(rho_s * ratio, 1e-6, 1e6)
+            change = (rho_cand > 5.0 * rho_s) | (rho_cand < rho_s / 5.0)
+            rho_s = jnp.where(done | ~change, rho_s, rho_cand)
             base, base_inv = make_base(rho_s)
 
         return x, z, y, x_t, rho_s, base, base_inv, it + s.check_every, done

@@ -16,6 +16,7 @@
 // the semantics; cross-checked in tests/test_native.py.
 
 #include <algorithm>
+#include <chrono>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
@@ -194,10 +195,14 @@ struct Constraints {
 // Focal A* (a_star_epsilon.hpp semantics): open ordered by f, focal by
 // (conflicts, f, -g) within w * fmin.  g(state) == t, so first arrival
 // wins and a closed set suffices.
+using Clock = std::chrono::steady_clock;
+
 bool lowLevelSearch(const Env& env, int agent, const St& start,
                     const Constraints& cons,
                     const std::vector<Path>& solution, double w, int maxTime,
+                    Clock::time_point deadline,
                     Path* outPath, int* outCost, int* outFmin) {
+  long steps = 0;
   const St& goal = env.goals[agent];
   int lastGoalConstraint = -1;
   for (uint64_t vk : cons.vertex) {
@@ -268,6 +273,7 @@ bool lowLevelSearch(const Env& env, int agent, const St& start,
   double bound = f0 * w;
 
   while (true) {
+    if ((++steps & 1023) == 0 && Clock::now() > deadline) return false;
     // clean stale top of open, track fmin
     while (!open.empty() && closed.count(open.top().key)) open.pop();
     if (open.empty()) return false;
@@ -420,8 +426,10 @@ extern "C" int ecbs_solve(int dimx, int dimy, int dimz,
                           const int32_t* starts, const int32_t* goals,
                           const double* quadSize, int nAgents,
                           double gridSize, double w, long maxExpansions,
-                          int maxTime, int32_t* outPaths, int32_t* outLengths,
-                          int maxPathLen) {
+                          int maxTime, double timeoutSec, int32_t* outPaths,
+                          int32_t* outLengths, int maxPathLen) {
+  auto deadline = Clock::now() + std::chrono::microseconds(
+      static_cast<long>((timeoutSec > 0 ? timeoutSec : 3600.0) * 1e6));
   Env env;
   env.dimx = dimx;
   env.dimy = dimy;
@@ -446,7 +454,7 @@ extern "C" int ecbs_solve(int dimx, int dimy, int dimz,
     St s{0, starts[3 * i], starts[3 * i + 1], starts[3 * i + 2]};
     int cost, fmin;
     if (!lowLevelSearch(env, i, s, root->constraints[i], root->solution, w,
-                        maxTime, &root->solution[i], &cost, &fmin))
+                        maxTime, deadline, &root->solution[i], &cost, &fmin))
       return -1;
     root->cost += cost;
   }
@@ -503,6 +511,7 @@ extern "C" int ecbs_solve(int dimx, int dimy, int dimz,
     if (popped.count(node->id)) continue;
     popped.insert(node->id);
     if (++expansions > maxExpansions) return -3;
+    if (Clock::now() > deadline) return -4;
 
     Conflict conflict;
     if (!firstConflict(env, node->solution, &conflict)) {
@@ -539,7 +548,7 @@ extern "C" int ecbs_solve(int dimx, int dimy, int dimz,
       St s{0, starts[3 * agent], starts[3 * agent + 1], starts[3 * agent + 2]};
       int cost, fmin;
       if (!lowLevelSearch(env, agent, s, child->constraints[agent],
-                          child->solution, w, maxTime,
+                          child->solution, w, maxTime, deadline,
                           &child->solution[agent], &cost, &fmin))
         continue;
       child->cost = 0;

@@ -46,7 +46,7 @@ def get_lib() -> ctypes.CDLL:
             ctypes.c_int, ctypes.c_int, ctypes.c_int,
             i32p, ctypes.c_int, i32p, i32p, f64p, ctypes.c_int,
             ctypes.c_double, ctypes.c_double, ctypes.c_long, ctypes.c_int,
-            i32p, i32p, ctypes.c_int,
+            ctypes.c_double, i32p, i32p, ctypes.c_int,
         ]
         lib.esdf_compute.restype = None
         lib.esdf_compute.argtypes = [
@@ -71,7 +71,7 @@ def _ptr(arr: np.ndarray, ctype):
 
 def ecbs_search_native(*, dims, obstacles, starts, goals, quad_size,
                        grid_size, w, max_expansions: int = 500_000,
-                       max_time: int = 0):
+                       max_time: int = 0, timeout_s: float = 60.0):
     """Returns per-agent paths as lists of (t, x, y, z), or None."""
     lib = get_lib()
     n = len(starts)
@@ -88,6 +88,7 @@ def ecbs_search_native(*, dims, obstacles, starts, goals, quad_size,
         _ptr(st, ctypes.c_int32), _ptr(gl, ctypes.c_int32),
         _ptr(qs, ctypes.c_double), n,
         float(grid_size), float(w), int(max_expansions), int(max_time),
+        float(timeout_s),
         _ptr(out_paths, ctypes.c_int32), _ptr(out_lens, ctypes.c_int32),
         max_path)
     if ret != 0:
