@@ -64,8 +64,8 @@ def main():
 
     plan, mission, param = build_problem()
     N = mission.qn
-    settings = admm.ADMMSettings(max_iter=2000, eps_abs=1e-4, eps_rel=1e-4,
-                             kkt_solver="cg", adaptive_rho=True)
+    settings = admm.ADMMSettings(max_iter=1500, eps_abs=1e-4, eps_rel=1e-4,
+                             kkt_solver="cg")
 
     batches, batch_iter = seqbatch.make_batches(N, param)
     dummy = assemble.build_dummy(plan.init_traj, param.n)

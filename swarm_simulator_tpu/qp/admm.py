@@ -50,7 +50,10 @@ class ADMMSettings:
     kkt_solver: str = "dense"
     cg_iters: int = 12
     check_every: int = 25  # residual/termination check interval
-    adaptive_rho: bool = True  # cg mode only (preconditioner rebuild ~free)
+    # adaptive rho converges ~10x faster in float64 but is numerically
+    # fragile in float32 (rho excursions amplify f32 roundoff in the
+    # preconditioner); keep it opt-in
+    adaptive_rho: bool = False
 
 
 class Constr(NamedTuple):
