@@ -64,8 +64,9 @@ def main():
 
     plan, mission, param = build_problem()
     N = mission.qn
-    settings = admm.ADMMSettings(max_iter=1500, eps_abs=1e-4, eps_rel=1e-4,
-                             kkt_solver="cg")
+    settings = admm.ADMMSettings(max_iter=1500, eps_abs=2e-4, eps_rel=2e-4,
+                             kkt_solver="cg", adaptive_rho=True,
+                             eps_dual_abs=0.5)
 
     batches, batch_iter = seqbatch.make_batches(N, param)
     dummy = assemble.build_dummy(plan.init_traj, param.n)

@@ -38,6 +38,11 @@ class ADMMSettings:
     max_iter: int = 2000
     eps_abs: float = 1e-4
     eps_rel: float = 1e-4
+    # separate absolute dual tolerance: this problem class (singular jerk
+    # Hessian) converges fast in the primal and slowly in the dual; the
+    # acceptance metrics (collisions, continuity, boxes) are all primal.
+    # None -> use eps_abs.
+    eps_dual_abs: float | None = None
     scaling: bool = True  # Ruiz equilibration (required for float32)
     # KKT linear-system strategy:
     #   "dense": explicit inverse, one [nx, nx] matmul per iteration —
@@ -50,10 +55,13 @@ class ADMMSettings:
     kkt_solver: str = "dense"
     cg_iters: int = 12
     check_every: int = 25  # residual/termination check interval
-    # adaptive rho converges ~10x faster in float64 but is numerically
-    # fragile in float32 (rho excursions amplify f32 roundoff in the
-    # preconditioner); keep it opt-in
+    # adaptive rho fixes the slow dual convergence of this problem class
+    # (singular jerk Hessian); rho excursions are clamped to keep the f32
+    # preconditioner well-conditioned
     adaptive_rho: bool = False
+    rho_min: float = 1e-2
+    rho_max: float = 1e1
+    polish: bool = False  # exact active-set solve after ADMM (qp/polish.py)
 
 
 class Constr(NamedTuple):
@@ -318,6 +326,8 @@ def _iterate(orig: QPData, data: QPData, scal, op: KKTOperator,
     y = tmap(jnp.zeros_like, z)
 
     eps_abs = jnp.asarray(s.eps_abs, dt)
+    eps_dual_abs = jnp.asarray(
+        s.eps_abs if s.eps_dual_abs is None else s.eps_dual_abs, dt)
     eps_rel = jnp.asarray(s.eps_rel, dt)
     alpha = jnp.asarray(s.alpha, dt)
     sigma = jnp.asarray(s.sigma, dt)
@@ -369,7 +379,7 @@ def _iterate(orig: QPData, data: QPData, scal, op: KKTOperator,
 
         r_prim, r_dual, n_prim, n_dual = residuals(x, z, y, rho_s)
         eps_prim = eps_abs + eps_rel * n_prim
-        eps_dual = eps_abs + eps_rel * n_dual
+        eps_dual = eps_dual_abs + eps_rel * n_dual
         done = (r_prim <= eps_prim) & (r_dual <= eps_dual)
 
         if adaptive:
@@ -380,7 +390,7 @@ def _iterate(orig: QPData, data: QPData, scal, op: KKTOperator,
             ratio = jnp.sqrt((r_prim / jnp.maximum(n_prim, tiny)) /
                              jnp.maximum(r_dual / jnp.maximum(n_dual, tiny),
                                          tiny))
-            rho_cand = jnp.clip(rho_s * ratio, 1e-6, 1e6)
+            rho_cand = jnp.clip(rho_s * ratio, s.rho_min, s.rho_max)
             change = (rho_cand > 5.0 * rho_s) | (rho_cand < rho_s / 5.0)
             rho_s = jnp.where(done | ~change, rho_s, rho_cand)
             base, base_inv = make_base(rho_s)
@@ -399,6 +409,10 @@ def _iterate(orig: QPData, data: QPData, scal, op: KKTOperator,
 
     r_prim, r_dual, _, _ = residuals(x, z, y, rho_s)
     xu = unscale_x(x)
+    if s.polish:
+        from .polish import polish as _polish
+        yu = unscale_y(y, rho_s)
+        xu, _accepted = _polish(orig, xu, yu, s)
     obj = 0.5 * jnp.vdot(xu, P_matvec(orig, xu))
     return xu, SolveInfo(iters=it, r_prim=r_prim, r_dual=r_dual, obj=obj)
 
