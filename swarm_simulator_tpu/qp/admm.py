@@ -333,6 +333,22 @@ def _iterate(orig: QPData, data: QPData, scal, op: KKTOperator,
     sigma = jnp.asarray(s.sigma, dt)
     adaptive = s.adaptive_rho and s.kkt_solver == "cg"
 
+    # adaptive mode quantizes rho to a precomputed ladder of preconditioners
+    # so the compiled loop contains no matrix inversion (slow to compile and
+    # to run); non-adaptive cg uses a single base at s.rho
+    if adaptive:
+        n_rungs = 7
+        ladder = jnp.asarray(
+            jnp.logspace(jnp.log10(s.rho_min), jnp.log10(s.rho_max),
+                         n_rungs), dt)
+        bases = op.base0[None] + ladder[:, None, None] * op.base1[None]
+        base_invs = jnp.linalg.inv(bases)  # [R, D, D]
+
+        def select(idx):
+            return ladder[idx], bases[idx], base_invs[idx]
+    else:
+        ladder = None
+
     def make_base(rho_s):
         if op.Kinv is not None:
             return None, None
@@ -372,7 +388,12 @@ def _iterate(orig: QPData, data: QPData, scal, op: KKTOperator,
         return r_prim, r_dual, n_prim, n_dual
 
     def outer_body(state):
-        x, z, y, x_t, rho_s, base, base_inv, it, _ = state
+        x, z, y, x_t, rho_idx, it, _ = state
+        if adaptive:
+            rho_s, base, base_inv = select(rho_idx)
+        else:
+            rho_s = rho0
+            base, base_inv = base_fixed
         carry = (x, z, y, x_t, rho_s, base, base_inv)
         carry, _ = jax.lax.scan(admm_step, carry, None, length=s.check_every)
         x, z, y, x_t, rho_s, base, base_inv = carry
@@ -392,20 +413,26 @@ def _iterate(orig: QPData, data: QPData, scal, op: KKTOperator,
                                          tiny))
             rho_cand = jnp.clip(rho_s * ratio, s.rho_min, s.rho_max)
             change = (rho_cand > 5.0 * rho_s) | (rho_cand < rho_s / 5.0)
-            rho_s = jnp.where(done | ~change, rho_s, rho_cand)
-            base, base_inv = make_base(rho_s)
+            cand_idx = jnp.argmin(
+                jnp.abs(jnp.log(ladder) - jnp.log(rho_cand)))
+            rho_idx = jnp.where(done | ~change, rho_idx, cand_idx)
 
-        return x, z, y, x_t, rho_s, base, base_inv, it + s.check_every, done
+        return x, z, y, x_t, rho_idx, it + s.check_every, done
 
     def outer_cond(state):
         it, done = state[-2], state[-1]
         return (it < s.max_iter) & ~done
 
-    base, base_inv = make_base(rho0)
-    state = (x, z, y, x, rho0, base, base_inv, jnp.asarray(0),
-             jnp.asarray(False))
-    x, z, y, _, rho_s, _, _, it, _ = jax.lax.while_loop(
+    if adaptive:
+        rho_idx0 = jnp.argmin(jnp.abs(jnp.log(ladder) - jnp.log(rho0)))
+        base_fixed = (None, None)
+    else:
+        rho_idx0 = jnp.asarray(0)
+        base_fixed = make_base(rho0)
+    state = (x, z, y, x, rho_idx0, jnp.asarray(0), jnp.asarray(False))
+    x, z, y, _, rho_idx, it, _ = jax.lax.while_loop(
         outer_cond, outer_body, state)
+    rho_s = select(rho_idx)[0] if adaptive else rho0
 
     r_prim, r_dual, _, _ = residuals(x, z, y, rho_s)
     xu = unscale_x(x)
