@@ -71,27 +71,15 @@ def _max_abs_poly(c: np.ndarray, ts: np.ndarray) -> tuple[np.ndarray, np.ndarray
     return vmax, tmax
 
 
-def _grow_scale(coef_d: np.ndarray, t_max: np.ndarray, v_max: np.ndarray,
-                limit: np.ndarray, n: int, max_steps: int = 500) -> np.ndarray:
-    """Vectorized 1.1-growth loop (scale_to_max_vel, rbp_planner.hpp:782-791).
-
-    coef_d [..., K+1] derivative coefficients (descending, t^(K)..t^0) whose
-    columns came from original powers p_j = n - j; under t -> t/ts each
-    column scales by ts^-(n-j)."""
-    K = coef_d.shape[-1] - 1
-    j = np.arange(K + 1)
-    orig_pow = n - j
-    scale = np.ones(v_max.shape)
-    active = v_max > limit
-    steps = 0
-    while np.any(active) and steps < max_steps:
-        scale = np.where(active, scale * SCALE_UPDATE_RATE, scale)
-        tp = t_max[..., None] ** (K - j)
-        vals = np.abs(np.sum(
-            coef_d * (1.0 / scale[..., None]) ** orig_pow * tp, axis=-1))
-        active = vals > limit
-        steps += 1
-    return scale
+def _required_scale(ratio: np.ndarray) -> np.ndarray:
+    """Smallest 1.1^k >= ratio (the reference grows by 1.1 steps,
+    rbp_planner.hpp:782-791; we compute the exact requirement instead of
+    re-evaluating at the unscaled extremum time, which under-scales for
+    interior maxima — t -> t/s divides velocity by exactly s and
+    acceleration by exactly s^2)."""
+    ratio = np.maximum(ratio, 1.0)
+    k = np.ceil(np.log(ratio) / np.log(SCALE_UPDATE_RATE) - 1e-12)
+    return SCALE_UPDATE_RATE ** k
 
 
 def compute_time_scale(coef: np.ndarray, T: np.ndarray, max_vel: np.ndarray,
@@ -116,9 +104,9 @@ def compute_time_scale(coef: np.ndarray, T: np.ndarray, max_vel: np.ndarray,
     cand_v = np.where((cand_v >= 0) & (cand_v <= dt_b[..., None]), cand_v, np.nan)
     cand_v[..., -2] = 0.0  # t=0 always valid
     cand_v[..., -1] = dt_b
-    vmax, tvmax = _max_abs_poly(vel, cand_v)
+    vmax, _ = _max_abs_poly(vel, cand_v)
     lim_v = np.broadcast_to(np.asarray(max_vel)[:, :, None], vmax.shape)
-    s_vel = _grow_scale(vel, tvmax, vmax, lim_v, n)
+    s_vel = _required_scale(vmax / lim_v)
 
     # acceleration extrema: roots of jerk + interval ends
     r_jerk = _real_roots_batched(jerk)
@@ -127,9 +115,9 @@ def compute_time_scale(coef: np.ndarray, T: np.ndarray, max_vel: np.ndarray,
     cand_a = np.where((cand_a >= 0) & (cand_a <= dt_b[..., None]), cand_a, np.nan)
     cand_a[..., -2] = 0.0
     cand_a[..., -1] = dt_b
-    amax, tamax = _max_abs_poly(acc, cand_a)
+    amax, _ = _max_abs_poly(acc, cand_a)
     lim_a = np.broadcast_to(np.asarray(max_acc)[:, :, None], amax.shape)
-    s_acc = _grow_scale(acc, tamax, amax, lim_a, n)
+    s_acc = _required_scale(np.sqrt(amax / lim_a))
 
     return float(max(1.0, s_vel.max(), s_acc.max()))
 
