@@ -78,43 +78,48 @@ def main():
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *datas)
     n_batches = len(datas)
 
-    # --- accelerator: batched Jacobi throughput (solves/s/chip) ---
+    # --- accelerator: Gauss-Seidel cycle of single-batch solves ---
+    # (the batched/vmapped program gives higher throughput but its remote
+    # compile takes 20+ min through the axon tunnel; the single-problem
+    # program compiles in minutes and its numbers are honest lower bounds.
+    # Run with --full for the batched measurement.)
     import dataclasses
-    S = 4  # scenario replication to saturate the chip
-    big = jax.tree.map(
-        lambda x: jnp.broadcast_to(x[None], (S,) + x.shape).reshape(
-            (S * n_batches,) + x.shape[1:]), stacked)
-
-    # per-rep jitter on the warm start defeats any remote execution cache
-    # for identical (program, inputs) pairs while keeping one compilation
-    run_batched = jax.jit(
-        lambda d, j: admm.solve_qp_batched(
-            dataclasses.replace(d, x0=d.x0 + j), settings))
-    xs, info = run_batched(big, jnp.float32(0.0))  # compile
-    jax.block_until_ready(xs)
-    t0 = time.perf_counter()
-    reps = 3
-    for r in range(reps):
-        xs, info = run_batched(big, jnp.float32(1e-6 * (r + 1)))
-        np.asarray(xs)  # full device->host materialization
-    dt_batched = (time.perf_counter() - t0) / reps
-    solves_per_s = S * n_batches / dt_batched
-    log(f"device batched: {S*n_batches} solves in {dt_batched:.3f}s -> "
-        f"{solves_per_s:.1f} solves/s  iters_max={np.asarray(info.iters).max()}"
-        f"  r_prim_max={np.asarray(info.r_prim).max():.2e}")
-
-    # --- per-cycle latency: one Gauss-Seidel sweep of 16 batches ---
     run_one = jax.jit(
         lambda d, j: admm.solve_qp(
             dataclasses.replace(d, x0=d.x0 + j), settings))
     x1, i1 = run_one(datas[0], jnp.float32(0.0))
     jax.block_until_ready(x1)
     t0 = time.perf_counter()
+    iters_seen = []
     for ri, d in enumerate(datas):
         x1, i1 = run_one(d, jnp.float32(1e-6 * (ri + 1)))
         np.asarray(x1)
+        iters_seen.append(int(i1.iters))
     dt_cycle = time.perf_counter() - t0
-    log(f"sequential cycle ({n_batches} batches): {dt_cycle:.3f}s")
+    solves_per_s = n_batches / dt_cycle
+    log(f"sequential cycle ({n_batches} batches): {dt_cycle:.3f}s -> "
+        f"{solves_per_s:.1f} solves/s  iters={iters_seen[:4]}...  "
+        f"r_prim={float(i1.r_prim):.2e}")
+
+    if "--full" in sys.argv:
+        S = 4
+        big = jax.tree.map(
+            lambda x: jnp.broadcast_to(x[None], (S,) + x.shape).reshape(
+                (S * n_batches,) + x.shape[1:]), stacked)
+        run_batched = jax.jit(
+            lambda d, j: admm.solve_qp_batched(
+                dataclasses.replace(d, x0=d.x0 + j), settings))
+        xs, info = run_batched(big, jnp.float32(0.0))
+        np.asarray(xs)
+        t0 = time.perf_counter()
+        reps = 3
+        for r in range(reps):
+            xs, info = run_batched(big, jnp.float32(1e-6 * (r + 1)))
+            np.asarray(xs)
+        dt_batched = (time.perf_counter() - t0) / reps
+        solves_per_s = max(solves_per_s, S * n_batches / dt_batched)
+        log(f"device batched: {S*n_batches} solves in {dt_batched:.3f}s -> "
+            f"{S*n_batches/dt_batched:.1f} solves/s")
 
     # --- baseline: reference architecture = one problem at a time on CPU ---
     cpu = jax.devices("cpu")[0]
