@@ -115,8 +115,30 @@ def main(argv=None) -> int:
     metrics = sst.evaluate(result, mission, param)
 
     if args.log_dir:
+        from pathlib import Path
+
+        import jax.numpy as jnp
+        import numpy as np
+
+        from swarm_simulator_tpu.eval.sample import (sample_times,
+                                                     sample_trajectories)
         from swarm_simulator_tpu.io.coef_csv import write_all
+        from swarm_simulator_tpu.io.viz import (plot_quad_dynamics,
+                                                plot_safety_margin,
+                                                plot_trajectories_topview)
         write_all(args.log_dir, result.coef, result.T, param.n)
+        # reference's plot(log): dynamics + safety plots (rbp_publisher)
+        ts = sample_times(result.T, 0.1)
+        st = np.asarray(sample_trajectories(
+            jnp.asarray(result.coef), jnp.asarray(np.asarray(result.T)),
+            jnp.asarray(ts), n=param.n))
+        d = Path(args.log_dir)
+        plot_quad_dynamics(ts, st[:, :, 1], st[:, :, 2], mission.max_vel,
+                           mission.max_acc, path=str(d / "dynamics.png"))
+        plot_safety_margin(ts, st[:, :, 0], mission.radius, param.downwash,
+                           path=str(d / "safety_margin.png"))
+        plot_trajectories_topview(st[:, :, 0], result.init_traj, world,
+                                  path=str(d / "trajectories.png"))
 
     if args.json:
         print(json.dumps({"metrics": metrics,
@@ -154,6 +176,13 @@ def _run_scp(mission, param, args) -> int:
     goal_err = float(np.max(np.abs(pos[:, :, -1].T - mission.goal[:, :3])))
     print(f"SCP: K={res.K} h={res.h} scp_iterations={res.iterations} "
           f"cost={res.cost:.4f}")
+    if args.log_dir:
+        from pathlib import Path
+
+        from swarm_simulator_tpu.io.viz import plot_scp_distances
+        Path(args.log_dir).mkdir(parents=True, exist_ok=True)
+        plot_scp_distances(res, mission.radius,
+                           path=str(Path(args.log_dir) / "scp_distances.png"))
     print(f"  min_dist_ratio: {ratio:.4f}")
     print(f"  goal_err: {goal_err:.6f}")
     # SCP enforces (linearized) separation at discrete timesteps only —

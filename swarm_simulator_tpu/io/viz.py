@@ -114,3 +114,30 @@ def plot_trajectories_topview(pos, init_traj=None, world=None, path=None):
         fig.savefig(path, dpi=110)
         plt.close(fig)
     return fig
+
+
+def plot_scp_distances(res, radius, path=None):
+    """SCP pairwise-distance plot (scp_plotter.hpp): every pair's distance
+    over the discrete horizon with its collision threshold."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    pos = res.pos  # [3, N, K]
+    N = pos.shape[1]
+    t = np.arange(res.K) * res.h
+    fig, ax = plt.subplots(figsize=(6, 3.2))
+    for i in range(N):
+        for j in range(i + 1, N):
+            d = np.linalg.norm(pos[:, i] - pos[:, j], axis=0)
+            ax.plot(t, d, lw=0.7)
+    ax.axhline(float(np.max(radius) * 2), color="r", ls="--",
+               label="max collision threshold")
+    ax.set_xlabel("t [s]")
+    ax.set_ylabel("inter-agent distance [m]")
+    ax.legend(fontsize=7)
+    fig.tight_layout()
+    if path:
+        fig.savefig(path, dpi=110)
+        plt.close(fig)
+    return fig
