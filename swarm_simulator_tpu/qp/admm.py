@@ -80,48 +80,45 @@ class SolveInfo(NamedTuple):
 
 class PairOp(NamedTuple):
     """Gather-free pair-constraint operator: selection matrix S = C_j - C_i
-    [P, B] (one-hot rows) plus masked segment normals [P, M, 3].  TPU
-    gathers/scatter-adds are slow and shape-hostile; as einsums the pair
-    block rides the MXU — and the normals stay in their compact [P, M, 3]
-    form (the per-control-point expansion is (n+1)x larger and would be
-    re-read from HBM every iteration)."""
-    n_m: jnp.ndarray  # [P, M, 3] (masked)
+    [P, B] (one-hot rows) plus per-control-point normals [P, 3, D].  TPU
+    gathers/scatter-adds are slow and shape-hostile; as matmuls the pair
+    block rides the MXU.  NOTE: the D-expanded normal layout is deliberate
+    — einsums over [..., M, n+1]-shaped intermediates leave a trailing
+    dimension of n+1=6 that TPU tiling pads to 128 (21x memory blowup,
+    measured 30x slower); the [P, 3, D] layout keeps the 128-aligned D
+    axis last."""
+    n_d: jnp.ndarray  # [P, 3, D] (masked)
     S: jnp.ndarray  # [P, B]
 
 
 def _pair_op(data: QPData) -> PairOp:
-    P = data.pair_n.shape[0]
+    P, M, _ = data.pair_n.shape
+    npp = data.lb.shape[-1] // M
     B = data.lb.shape[0]
     dt = data.lb.dtype
-    n_m = data.pair_n * data.pair_mask[:, None, None]
+    n_d = jnp.repeat(data.pair_n, npp, axis=1)  # [P, D, 3]
+    n_d = n_d.transpose(0, 2, 1) * data.pair_mask[:, None, None]
     cj = (data.pair_bj >= 0).astype(dt) * data.pair_mask
     ci = (data.pair_bi >= 0).astype(dt) * data.pair_mask
     rows = jnp.arange(P)
     S = jnp.zeros((P, B), dt)
     S = S.at[rows, jnp.clip(data.pair_bj, 0, None)].add(cj)
     S = S.at[rows, jnp.clip(data.pair_bi, 0, None)].add(-ci)
-    return PairOp(n_m=n_m, S=S)
+    return PairOp(n_d=n_d, S=S)
 
 
 def A_matvec(data: QPData, x: jnp.ndarray, pop: PairOp) -> Constr:
     eq = jnp.einsum("rd,bkd->bkr", data.Aeq, x)
-    B, K3, D = x.shape
-    P, M, _ = pop.n_m.shape
-    x4 = x.reshape(B, K3, M, D // M)
-    xs = jnp.einsum("pb,bkmi->pkmi", pop.S, x4)  # [P, 3, M, npp]
-    pair = jnp.einsum("pmk,pkmi->pmi", pop.n_m, xs).reshape(P, D)
+    xs = jnp.einsum("pb,bkd->pkd", pop.S, x)  # [P, 3, D]
+    pair = jnp.einsum("pkd,pkd->pd", pop.n_d, xs)
     return Constr(eq=eq, box=x, pair=pair)
 
 
 def AT_matvec(data: QPData, y: Constr, pop: PairOp) -> jnp.ndarray:
     out = jnp.einsum("rd,bkr->bkd", data.Aeq, y.eq)
     out = out + y.box
-    B, K3, D = out.shape
-    P, M, _ = pop.n_m.shape
-    y4 = y.pair.reshape(P, M, D // M)
-    contrib = jnp.einsum("pmk,pmi->pkmi", pop.n_m, y4)  # [P, 3, M, npp]
-    out = out + jnp.einsum("pb,pkmi->bkmi", pop.S, contrib).reshape(
-        B, K3, D)
+    contrib = pop.n_d * y.pair[:, None, :]  # [P, 3, D]
+    out = out + jnp.einsum("pb,pkd->bkd", pop.S, contrib)
     return out
 
 
