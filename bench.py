@@ -78,48 +78,29 @@ def main():
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *datas)
     n_batches = len(datas)
 
-    # --- accelerator: Gauss-Seidel cycle of single-batch solves ---
-    # (the batched/vmapped program gives higher throughput but its remote
-    # compile takes 20+ min through the axon tunnel; the single-problem
-    # program compiles in minutes and its numbers are honest lower bounds.
-    # Run with --full for the batched measurement.)
+    # --- accelerator: whole Gauss-Seidel cycle as ONE device program ---
+    # (per-dispatch overhead on the remote backend is seconds; scanning
+    # over the 16 agent batches inside one compiled program measures the
+    # actual compute. This is also the production path.)
     import dataclasses
-    run_one = jax.jit(
-        lambda d, j: admm.solve_qp(
-            dataclasses.replace(d, x0=d.x0 + j), settings))
-    x1, i1 = run_one(datas[0], jnp.float32(0.0))
-    jax.block_until_ready(x1)
-    t0 = time.perf_counter()
-    iters_seen = []
-    for ri, d in enumerate(datas):
-        x1, i1 = run_one(d, jnp.float32(1e-6 * (ri + 1)))
-        np.asarray(x1)
-        iters_seen.append(int(i1.iters))
-    dt_cycle = time.perf_counter() - t0
-    solves_per_s = n_batches / dt_cycle
-    log(f"sequential cycle ({n_batches} batches): {dt_cycle:.3f}s -> "
-        f"{solves_per_s:.1f} solves/s  iters={iters_seen[:4]}...  "
-        f"r_prim={float(i1.r_prim):.2e}")
 
-    if "--full" in sys.argv:
-        S = 4
-        big = jax.tree.map(
-            lambda x: jnp.broadcast_to(x[None], (S,) + x.shape).reshape(
-                (S * n_batches,) + x.shape[1:]), stacked)
-        run_batched = jax.jit(
-            lambda d, j: admm.solve_qp_batched(
-                dataclasses.replace(d, x0=d.x0 + j), settings))
-        xs, info = run_batched(big, jnp.float32(0.0))
-        np.asarray(xs)
-        t0 = time.perf_counter()
-        reps = 3
-        for r in range(reps):
-            xs, info = run_batched(big, jnp.float32(1e-6 * (r + 1)))
-            np.asarray(xs)
-        dt_batched = (time.perf_counter() - t0) / reps
-        solves_per_s = max(solves_per_s, S * n_batches / dt_batched)
-        log(f"device batched: {S*n_batches} solves in {dt_batched:.3f}s -> "
-            f"{S*n_batches/dt_batched:.1f} solves/s")
+    from swarm_simulator_tpu.parallel import mesh as pmesh
+    dummy_j = jnp.asarray(dummy, dtype=jnp.float32)
+    run_cycle = jax.jit(lambda st_, dm, j: pmesh.gauss_seidel_sweep(
+        st_, dm + j, settings, rounds=1))
+    ctrl, info = run_cycle(stacked, dummy_j, jnp.float32(0.0))
+    jax.block_until_ready(ctrl)
+    t0 = time.perf_counter()
+    reps = 3
+    for r in range(reps):
+        ctrl, info = run_cycle(stacked, dummy_j, jnp.float32(1e-6 * (r + 1)))
+        np.asarray(ctrl)
+    dt_cycle = (time.perf_counter() - t0) / reps
+    solves_per_s = n_batches / dt_cycle
+    iters = [int(i) for i in np.asarray(info.iters)[:4]]
+    log(f"GS cycle ({n_batches} batches, 1 dispatch): {dt_cycle:.3f}s -> "
+        f"{solves_per_s:.1f} solves/s  iters={iters}...  "
+        f"r_prim_max={float(np.asarray(info.r_prim).max()):.2e}")
 
     # --- baseline: reference architecture = one problem at a time on CPU ---
     cpu = jax.devices("cpu")[0]

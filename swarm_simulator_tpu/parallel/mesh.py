@@ -57,6 +57,57 @@ def shard_stacked(data: assemble.QPData, mesh: Mesh,
 
 
 @partial(jax.jit, static_argnames=("settings", "rounds", "kkt_chunk"))
+def gauss_seidel_sweep(stacked: assemble.QPData, dummy: jnp.ndarray,
+                       settings: admm.ADMMSettings,
+                       rounds: int = 1, kkt_chunk: int = 4):
+    """The reference's sequential batch planning as ONE compiled program.
+
+    lax.scan over agent batches with the dummy control points carried
+    on-device: each step refreshes its coupling rhs from the current
+    dummy, solves, and scatters its solution back — exactly the
+    Gauss-Seidel semantics of rbp_planner.hpp:140-204, with zero host
+    round-trips per cycle (a single device dispatch per sweep; on remote
+    backends per-dispatch overhead dominates a host-driven loop).
+
+    Returns (dummy [N, M, n+1, 3], stacked infos of the last round).
+    """
+    import dataclasses
+
+    N, M, npp, _ = dummy.shape
+
+    with jax.default_matmul_precision("highest"):
+        prep = jax.lax.map(lambda d: admm._prepare(d, settings), stacked,
+                           batch_size=kkt_chunk)
+        sdatas, scals, ops = prep
+
+        def batch_step(dummy, inputs):
+            data_l, sd, scal, op = inputs
+            d = assemble.refresh_from_dummy(data_l, dummy)
+            if scal is not None:
+                rhs = jnp.where(
+                    d.pair_mask[:, None] > 0,
+                    d.pair_rhs * scal.pair_row,
+                    jnp.asarray(-assemble.BIG, d.pair_rhs.dtype))
+                sd = dataclasses.replace(sd, pair_rhs=rhs, x0=d.x0 / scal.d)
+            else:
+                sd = dataclasses.replace(sd, pair_rhs=d.pair_rhs, x0=d.x0)
+            x, info = admm._iterate(d, sd, scal, op, settings)
+            B = x.shape[0]
+            ctrl = x.transpose(0, 2, 1).reshape(B, M, npp, 3)
+            dummy = dummy.at[data_l.agents].set(
+                ctrl.astype(dummy.dtype), mode="drop")
+            return dummy, info
+
+        def round_fn(dummy, _):
+            dummy, infos = jax.lax.scan(
+                batch_step, dummy, (stacked, sdatas, scals, ops))
+            return dummy, infos
+
+        dummy, infos = jax.lax.scan(round_fn, dummy, None, length=rounds)
+    return dummy, jax.tree.map(lambda x: x[-1], infos)
+
+
+@partial(jax.jit, static_argnames=("settings", "rounds", "kkt_chunk"))
 def jacobi_sweep(stacked: assemble.QPData, dummy: jnp.ndarray,
                  settings: admm.ADMMSettings,
                  rounds: int = 1, kkt_chunk: int = 4):

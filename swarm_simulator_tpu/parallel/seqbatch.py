@@ -82,6 +82,35 @@ def solve_trajectories(
     pad_pairs = max(pair_counts) if pair_counts else 0
 
     solved = np.zeros(N, dtype=bool)
+    if param.parallel_mode == "gauss-seidel" and batch_iter > 0:
+        # reference GS semantics as ONE compiled device program (scan over
+        # batches with the dummy carried on-device) — a host-driven loop
+        # pays per-dispatch overhead on remote backends
+        import jax
+        import jax.numpy as jnp
+
+        from . import mesh as pmesh
+        datas = [assemble.assemble_batch(plan, mission, param, b, dummy,
+                                         pad_pairs)
+                 for b in batches[:batch_iter]]
+        stacked = _stack_qpdata(datas)
+        ctrl_dev, info = pmesh.gauss_seidel_sweep(
+            stacked, jnp.asarray(dummy), settings,
+            rounds=max(1, param.iteration))
+        ctrl_dev = np.asarray(ctrl_dev, dtype=np.float64)
+        for b in batches[:batch_iter]:
+            ctrl[b] = ctrl_dev[b]
+            solved[b] = True
+        plan.coef = convert.ctrl_to_coef(ctrl, plan.T, n)
+        plan.solver_info = {
+            "iters": [int(i) for i in np.asarray(info.iters)],
+            "r_prim": [float(v) for v in np.asarray(info.r_prim)],
+            "r_dual": [float(v) for v in np.asarray(info.r_dual)],
+            "obj": [float(v) for v in np.asarray(info.obj)],
+            "mode": "gauss-seidel-device", "solved": solved,
+        }
+        return plan
+
     for it in range(param.iteration):
         if param.parallel_mode == "jacobi" and batch_iter > 1:
             datas = [assemble.assemble_batch(plan, mission, param, b, dummy,

@@ -90,3 +90,38 @@ def test_refresh_from_dummy_matches_host_assembly():
                                np.asarray(data_host.pair_rhs), atol=1e-12)
     np.testing.assert_allclose(np.asarray(data_dev.x0),
                                np.asarray(data_host.x0), atol=1e-12)
+
+
+def test_gauss_seidel_sweep_on_device():
+    from swarm_simulator_tpu.parallel import mesh as pmesh
+    from swarm_simulator_tpu.parallel import seqbatch
+    from swarm_simulator_tpu.qp import admm, assemble
+
+    plan, mission, param = _setup(n_agents=6, M=4, batch_size=2)
+    batches, batch_iter = seqbatch.make_batches(mission.qn, param)
+    dummy = assemble.build_dummy(plan.init_traj, param.n)
+    members = [set(int(q) for q in b) for b in batches]
+    pad = max(sum(1 for (qi, qj) in np.asarray(plan.pair_idx)
+                  if int(qi) in m or int(qj) in m) for m in members)
+    datas = [assemble.assemble_batch(plan, mission, param, b, dummy, pad)
+             for b in batches]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *datas)
+    settings = admm.ADMMSettings(max_iter=1500, eps_abs=1e-6, eps_rel=1e-6,
+                                 kkt_solver="cg")
+    ctrl, info = pmesh.gauss_seidel_sweep(stacked, jnp.asarray(dummy),
+                                          settings, rounds=1)
+    ctrl = np.asarray(ctrl)
+    np.testing.assert_allclose(ctrl[:, 0, 0], mission.start[:, :3], atol=1e-4)
+    np.testing.assert_allclose(ctrl[:, -1, -1], mission.goal[:, :3], atol=1e-4)
+    sep = ctrl[1:, :, :, 1] - ctrl[:-1, :, :, 1]
+    assert sep.min() >= 0.2 - 1e-4
+
+    # matches the host-driven Gauss-Seidel loop
+    from swarm_simulator_tpu.core.types import PlanResult
+    from swarm_simulator_tpu.parallel.seqbatch import solve_trajectories
+    solve_trajectories(plan, mission, param, settings)
+    ctrl_host = np.asarray(plan.coef)  # power coefs; compare via dummy ctrl
+    # (compare control points via coef conversion instead)
+    from swarm_simulator_tpu.qp import convert
+    coef_dev = convert.ctrl_to_coef(ctrl, plan.T, param.n)
+    np.testing.assert_allclose(coef_dev, ctrl_host, atol=5e-4)
