@@ -84,6 +84,10 @@ class Param:
     solver_max_iter: int = 2000
     solver_eps_abs: float = 1e-4
     solver_eps_rel: float = 1e-4
+    # separate absolute dual tolerance (see qp/admm.ADMMSettings); the
+    # acceptance metrics are primal — None uses solver_eps_abs
+    solver_eps_dual: Optional[float] = None
+    solver_adaptive_rho: bool = False
     parallel_mode: str = "gauss-seidel"  # or "jacobi" (batches in parallel)
 
     @property

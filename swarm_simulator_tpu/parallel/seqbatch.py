@@ -57,6 +57,8 @@ def solve_trajectories(
         settings = admm.ADMMSettings(max_iter=param.solver_max_iter,
                                      eps_abs=param.solver_eps_abs,
                                      eps_rel=param.solver_eps_rel,
+                                     eps_dual_abs=param.solver_eps_dual,
+                                     adaptive_rho=param.solver_adaptive_rho,
                                      kkt_solver=kkt)
     n = param.n
     M = plan.M
