@@ -50,10 +50,13 @@ def solve_trajectories(
     if settings is None:
         kkt = param.solver_kkt
         if kkt == "auto":
-            # structured CG wins at every size once adaptive rho is on
-            # (10x fewer iterations, O(D^2) memory); "dense" remains as an
-            # explicit validation path
-            kkt = "cg"
+            # dense: one big MXU matmul per iteration — wins for small
+            # batch QPs (the CG inner loop is ~70 tiny sequential ops per
+            # iteration, latency-bound on TPU).  cg: O(D^2) memory — the
+            # only viable mode for large joint problems.
+            B_eff = param.batch_size if param.sequential else N
+            nx = 3 * B_eff * plan.M * (param.n + 1)
+            kkt = "dense" if nx * nx * 4 < 120e6 else "cg"
         settings = admm.ADMMSettings(max_iter=param.solver_max_iter,
                                      eps_abs=param.solver_eps_abs,
                                      eps_rel=param.solver_eps_rel,
