@@ -64,11 +64,13 @@ def main():
 
     plan, mission, param = build_problem()
     N = mission.qn
-    # dense KKT: one MXU matmul per iteration (the CG mode's inner loop is
-    # latency-bound on TPU); dual tolerance sized to the measured f32
-    # floor of this problem class (see ARCHITECTURE.md)
+    # cg KKT in the vmapped path: same batched iteration speed as dense
+    # (1.57 vs 1.90 ms/iter measured) but near-zero preparation, while
+    # dense prep (Cholesky + triangular inverse, TPU-hostile) costs ~15 s
+    # per cycle.  Dual tolerance sized to the measured f32 floor of this
+    # problem class (see ARCHITECTURE.md).
     settings = admm.ADMMSettings(max_iter=1500, eps_abs=2e-4, eps_rel=2e-4,
-                             kkt_solver="dense", eps_dual_abs=1.5)
+                             kkt_solver="cg", eps_dual_abs=1.5)
 
     batches, batch_iter = seqbatch.make_batches(N, param)
     dummy = assemble.build_dummy(plan.init_traj, param.n)
