@@ -64,17 +64,20 @@ def refresh_from_dummy(data: QPData, dummy: jnp.ndarray) -> QPData:
 
     N, M, npp, _ = dummy.shape
     D = M * npp
+    # D-last layout throughout: [.., M, n+1, 3]-shaped intermediates leave
+    # a trailing dim of 3 that TPU tiling pads to 128 (see ARCHITECTURE.md)
     dd = dummy.astype(data.pair_rhs.dtype)
-    # n . dummy[q] per control point: [P, D]
-    dj = dd[jnp.clip(data.pair_qj, 0, None)]  # [P, M, n+1, 3]
+    dd = dd.transpose(0, 3, 1, 2).reshape(N, 3, D)  # [N, 3, D]
+    n_d = jnp.repeat(data.pair_n, npp, axis=1).transpose(0, 2, 1)  # [P,3,D]
+    dj = dd[jnp.clip(data.pair_qj, 0, None)]  # [P, 3, D]
     di = dd[jnp.clip(data.pair_qi, 0, None)]
-    ndj = jnp.einsum("pmk,pmik->pmi", data.pair_n, dj).reshape(-1, D)
-    ndi = jnp.einsum("pmk,pmik->pmi", data.pair_n, di).reshape(-1, D)
+    ndj = jnp.sum(n_d * dj, axis=1)  # [P, D]
+    ndi = jnp.sum(n_d * di, axis=1)
     j_fixed = (data.pair_bj < 0).astype(ndj.dtype)[:, None]
     i_fixed = (data.pair_bi < 0).astype(ndi.dtype)[:, None]
     rhs = (data.pair_rsum[:, None] - j_fixed * ndj + i_fixed * ndi)
     rhs = jnp.where(data.pair_mask[:, None] > 0, rhs, -BIG)
-    x0 = dd[data.agents].reshape(-1, D, 3).transpose(0, 2, 1)
+    x0 = dd[data.agents]  # [B, 3, D]
     return dataclasses.replace(data, pair_rhs=rhs, x0=x0)
 
 
