@@ -31,10 +31,9 @@ from ..qp import admm
 from ..qp.assemble import BIG, QPData
 
 
-def _kernel(base_ref, base_inv_ref, coupling_ref, aeq_ref, s3_ref, r_ref,
-            nd_ref, lb_ref, ub_ref, deq_ref, pair_l_ref, x0_ref,
-            x_out_ref, *, B, M, npp, Re, P, rho, rho_eq, sigma, alpha,
-            iters, cg_iters):
+def _body(base, base_inv, coupling, aeq, S3, R, n_d, lb, ub, deq, pair_l,
+          x0, *, B, M, npp, Re, P, rho, rho_eq, sigma, alpha,
+          iters, cg_iters):
     # Mosaic constraint: no reshapes that touch the lane (last) dim inside
     # the kernel -> every regrouping is a host-built selection matmul:
     #   S3 = S (x) I_3   [3P, B3]  expands agent selection per axis
@@ -42,46 +41,40 @@ def _kernel(base_ref, base_inv_ref, coupling_ref, aeq_ref, s3_ref, r_ref,
     D = M * npp
     B3 = 3 * B
     f32 = jnp.float32
-
-    base = base_ref[:]            # [D, D]
-    base_inv = base_inv_ref[:]    # [D, D]
-    coupling = coupling_ref[:]    # [B3*B3, D] j-major blocks
-    aeq = aeq_ref[:]              # [Re, D]
-    S3 = s3_ref[:]                # [3P, B3]
-    R = r_ref[:]                  # [P, 3P]
-    n_d = nd_ref[:]               # [3P, D] expanded normals (p-major, k)
-    lb = lb_ref[:]                # [B3, D]
-    ub = ub_ref[:]
-    deq = deq_ref[:]              # [B3, Re]
-    pair_l = pair_l_ref[:]        # [P, D]
     big = f32(BIG)
 
     hi = jax.lax.Precision.HIGHEST
 
     def mm(a, b):  # [m, k] @ [k, n]
         return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
-                                   precision=hi)
+                                   precision=hi,
+                                   preferred_element_type=jnp.float32)
 
     def A_mv(x):  # x [B3, D] -> (eq [B3, Re], box, pair [P, D])
         eq = jax.lax.dot_general(x, aeq, (((1,), (1,)), ((), ())),
-                                 precision=hi)  # [B3, Re]
+                                 precision=hi,
+                                 preferred_element_type=jnp.float32)
         xs = mm(S3, x)            # [3P, D]
         pair = mm(R, n_d * xs)    # [P, D]
         return eq, x, pair
 
     def AT_mv(y_eq, y_box, y_pair):  # -> [B3, D]
         out = jax.lax.dot_general(y_eq, aeq, (((1,), (0,)), ((), ())),
-                                  precision=hi)  # [B3, D]
+                                  precision=hi,
+                                  preferred_element_type=jnp.float32)
         out = out + y_box
         contrib = n_d * jax.lax.dot_general(
-            R, y_pair, (((0,), (0,)), ((), ())), precision=hi)  # [3P, D]
+            R, y_pair, (((0,), (0,)), ((), ())), precision=hi,
+            preferred_element_type=jnp.float32)
         out = out + jax.lax.dot_general(
-            S3, contrib, (((0,), (0,)), ((), ())), precision=hi)
+            S3, contrib, (((0,), (0,)), ((), ())), precision=hi,
+            preferred_element_type=jnp.float32)
         return out
 
     def K_mv(x):  # structured KKT matvec
         out = jax.lax.dot_general(x, base, (((1,), (1,)), ((), ())),
-                                  precision=hi)
+                                  precision=hi,
+                                  preferred_element_type=jnp.float32)
         # out[i, d] += sum_j coupling[(j, i), d] * x[j, d]
         # contiguous static row blocks (j-major host layout) — strided
         # slices lower to gathers, which Mosaic rejects
@@ -92,7 +85,8 @@ def _kernel(base_ref, base_inv_ref, coupling_ref, aeq_ref, s3_ref, r_ref,
 
     def precond(r):
         return jax.lax.dot_general(r, base_inv, (((1,), (1,)), ((), ())),
-                                   precision=hi)
+                                   precision=hi,
+                                   preferred_element_type=jnp.float32)
 
     def cg_solve(rhs, x0):
         x = x0
@@ -117,7 +111,7 @@ def _kernel(base_ref, base_inv_ref, coupling_ref, aeq_ref, s3_ref, r_ref,
         x, r, p, rz = jax.lax.fori_loop(0, cg_iters, body2, (x, r, p, rz))
         return x
 
-    x = x0_ref[:]
+    x = x0
     eq0, box0, pair0 = A_mv(x)
     z_eq = deq
     z_box = jnp.clip(box0, lb, ub)
@@ -151,7 +145,26 @@ def _kernel(base_ref, base_inv_ref, coupling_ref, aeq_ref, s3_ref, r_ref,
 
     carry = (x, z_eq, z_box, z_pair, y_eq, y_box, y_pair, x)
     carry = jax.lax.fori_loop(0, iters, admm_body, carry)
-    x_out_ref[:] = carry[0]
+    return carry[0]
+
+
+def _kernel(base_ref, base_inv_ref, coupling_ref, aeq_ref, s3_ref, r_ref,
+            nd_ref, lb_ref, ub_ref, deq_ref, pair_l_ref, x0_ref,
+            x_out_ref, **kw):
+    x_out_ref[:] = _body(
+        base_ref[:], base_inv_ref[:], coupling_ref[:], aeq_ref[:],
+        s3_ref[:], r_ref[:], nd_ref[:], lb_ref[:], ub_ref[:], deq_ref[:],
+        pair_l_ref[:], x0_ref[:], **kw)
+
+
+def _kernel_grid(base_ref, base_inv_ref, coupling_ref, aeq_ref, s3_ref,
+                 r_ref, nd_ref, lb_ref, ub_ref, deq_ref, pair_l_ref,
+                 x0_ref, x_out_ref, **kw):
+    # blocks carry a leading problem axis of size 1
+    x_out_ref[0] = _body(
+        base_ref[0], base_inv_ref[0], coupling_ref[0], aeq_ref[0],
+        s3_ref[0], r_ref[0], nd_ref[0], lb_ref[0], ub_ref[0], deq_ref[0],
+        pair_l_ref[0], x0_ref[0], **kw)
 
 
 @dataclass(frozen=True)
@@ -164,17 +177,11 @@ class PallasADMMSettings:
     cg_iters: int = 12
 
 
-def solve_admm_pallas(data: QPData, settings: PallasADMMSettings,
-                      interpret: bool = False) -> jnp.ndarray:
-    """Solve one (equilibrated) batch QP entirely in one Pallas kernel.
-
-    Equilibration and the structured-operator build run as normal XLA ops
-    (one-time); the iteration loop is the kernel. Returns x [B, 3, D]
-    (unscaled).
-    """
+def _prep_args(data: QPData, s: "PallasADMMSettings"):
+    """Equilibrate + build the kernel operand tuple for one problem.
+    Returns (args tuple, unscale vector d)."""
     from ..qp.scaling import equilibrate
 
-    s = settings
     adm = admm.ADMMSettings(rho=s.rho, rho_eq_scale=s.rho_eq_scale,
                             sigma=s.sigma, alpha=s.alpha,
                             kkt_solver="cg", cg_iters=s.cg_iters,
@@ -212,15 +219,31 @@ def solve_admm_pallas(data: QPData, settings: PallasADMMSettings,
         sdata.pair_rhs.astype(f32),
         sdata.x0.reshape(B3, D).astype(f32),
     )
+    dims = dict(B=B, M=M, npp=npp, Re=Re, P=P)
+    return args, scal.d, dims
+
+
+def solve_admm_pallas(data: QPData, settings: "PallasADMMSettings",
+                      interpret: bool = False) -> jnp.ndarray:
+    """Solve one (equilibrated) batch QP entirely in one Pallas kernel.
+
+    Equilibration and the structured-operator build run as normal XLA ops
+    (one-time); the iteration loop is the kernel. Returns x [B, 3, D]
+    (unscaled).
+    """
+    s = settings
+    args, d_vec, dims = _prep_args(data, s)
+    B = dims["B"]
+    D = dims["M"] * dims["npp"]
+    B3 = 3 * B
 
     kernel = functools.partial(
-        _kernel, B=B, M=M, npp=npp, Re=Re, P=P, rho=s.rho,
-        rho_eq=s.rho * s.rho_eq_scale, sigma=s.sigma, alpha=s.alpha,
-        iters=s.iters, cg_iters=s.cg_iters)
+        _kernel, rho=s.rho, rho_eq=s.rho * s.rho_eq_scale, sigma=s.sigma,
+        alpha=s.alpha, iters=s.iters, cg_iters=s.cg_iters, **dims)
 
     x = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((B3, D), f32),
+        out_shape=jax.ShapeDtypeStruct((B3, D), jnp.float32),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(args),
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         compiler_params=pltpu.CompilerParams(
@@ -229,4 +252,49 @@ def solve_admm_pallas(data: QPData, settings: PallasADMMSettings,
     )(*args)
 
     x = x.reshape(B, 3, D)
-    return (x * scal.d).astype(data.lb.dtype)
+    return (x * d_vec).astype(data.lb.dtype)
+
+
+def solve_admm_pallas_batched(data: QPData, settings: "PallasADMMSettings",
+                              interpret: bool = False) -> jnp.ndarray:
+    """Solve a stack of batch QPs (leading axis L) in ONE kernel launch.
+
+    grid = (L,): the TPU core steps through the problems with every
+    problem's working set resident in VMEM — one dispatch for a whole
+    Jacobi round of agent batches (per-dispatch overhead on remote
+    backends is seconds). Returns x [L, B, 3, D] (unscaled).
+    """
+    s = settings
+    prep = jax.vmap(lambda d: _prep_args(d, s)[:2])(data)
+    args, d_vecs = prep
+    dims_probe = _prep_args(jax.tree.map(lambda a: a[0], data), s)[2]
+    L = args[0].shape[0]
+    B = dims_probe["B"]
+    D = dims_probe["M"] * dims_probe["npp"]
+    B3 = 3 * B
+
+    kernel = functools.partial(
+        _kernel_grid, rho=s.rho, rho_eq=s.rho * s.rho_eq_scale,
+        sigma=s.sigma, alpha=s.alpha, iters=s.iters, cg_iters=s.cg_iters,
+        **dims_probe)
+
+    def spec(a):
+        blk = (1,) + a.shape[1:]
+        nd = a.ndim
+        return pl.BlockSpec(blk, lambda l, _nd=nd: (l,) + (0,) * (_nd - 1),
+                            memory_space=pltpu.VMEM)
+
+    x = pl.pallas_call(
+        kernel,
+        grid=(L,),
+        out_shape=jax.ShapeDtypeStruct((L, B3, D), jnp.float32),
+        in_specs=[spec(a) for a in args],
+        out_specs=pl.BlockSpec((1, B3, D), lambda l: (l, 0, 0),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
+        interpret=interpret,
+    )(*args)
+
+    x = x.reshape(L, B, 3, D)
+    return (x * d_vecs[:, None, None, :]).astype(data.lb.dtype)
