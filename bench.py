@@ -70,7 +70,7 @@ def main():
     # per cycle.  Dual tolerance sized to the measured f32 floor of this
     # problem class (see ARCHITECTURE.md).
     settings = admm.ADMMSettings(max_iter=1500, eps_abs=2e-4, eps_rel=2e-4,
-                             kkt_solver="cg", eps_dual_abs=1.5)
+                             kkt_solver="dense", eps_dual_abs=1.5)
 
     batches, batch_iter = seqbatch.make_batches(N, param)
     dummy = assemble.build_dummy(plan.init_traj, param.n)
@@ -82,33 +82,27 @@ def main():
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *datas)
     n_batches = len(datas)
 
-    # --- accelerator: Jacobi sweep, all agent-batches vmapped, 1 dispatch ---
-    # Per-iteration fixed overhead on this backend (~9 ms) dominates any
-    # sequential-in-program loop; vmapping the 16 batch QPs into one
-    # program amortizes it to ~0.12 ms/iter/problem (measured). Two Jacobi
-    # rounds with the on-device dummy exchange give cross-batch constraint
-    # correctness (the Gauss-Seidel-exact path is parallel/mesh.
-    # gauss_seidel_sweep).
+    # --- accelerator: one Jacobi round, all agent-batches vmapped ---
+    # One dispatch solves every agent-batch QP of the 64-agent problem
+    # (the dummy-coupling refresh between rounds is host-side assembly).
+    # Dense KKT: one MXU matmul per iteration; the batched program
+    # amortizes this backend's ~9 ms per-iteration fixed overhead.
     import dataclasses
 
-    from swarm_simulator_tpu.parallel import mesh as pmesh
-    ROUNDS = 2
-    dummy_j = jnp.asarray(dummy, dtype=jnp.float32)
-    run_cycle = jax.jit(lambda st_, dm, j: pmesh.jacobi_sweep(
-        st_, dm + j, settings, rounds=ROUNDS))
-    ctrl, info = run_cycle(stacked, dummy_j, jnp.float32(0.0))
-    jax.block_until_ready(ctrl)
+    run_round = jax.jit(lambda st_, j: admm.solve_qp_batched(
+        dataclasses.replace(st_, x0=st_.x0 + j), settings))
+    xs, info = run_round(stacked, jnp.float32(0.0))
+    np.asarray(xs)
     t0 = time.perf_counter()
     reps = 3
     for r in range(reps):
-        ctrl, info = run_cycle(stacked, dummy_j, jnp.float32(1e-6 * (r + 1)))
-        np.asarray(ctrl)
+        xs, info = run_round(stacked, jnp.float32(1e-6 * (r + 1)))
+        np.asarray(xs)
     dt_cycle = (time.perf_counter() - t0) / reps
-    n_solves = n_batches * ROUNDS
-    solves_per_s = n_solves / dt_cycle
+    solves_per_s = n_batches / dt_cycle
     iters = [int(i) for i in np.asarray(info.iters)[:4]]
-    log(f"jacobi sweep ({n_batches} batches x {ROUNDS} rounds, 1 dispatch): "
-        f"{dt_cycle:.3f}s -> {solves_per_s:.1f} solves/s  iters={iters}...  "
+    log(f"jacobi round ({n_batches} batches, 1 dispatch): {dt_cycle:.3f}s "
+        f"-> {solves_per_s:.1f} solves/s  iters={iters}...  "
         f"r_prim_max={float(np.asarray(info.r_prim).max()):.2e}")
 
     # --- baseline: reference architecture = one problem at a time on CPU ---
