@@ -44,37 +44,45 @@ def _body(base, base_inv, coupling, aeq, S3, R, n_d, lb, ub, deq, pair_l,
     big = f32(BIG)
 
     hi = jax.lax.Precision.HIGHEST
+    bf = jnp.bfloat16
+
+    def _dg(a, b, dns):
+        # Mosaic feeds the MXU bf16 regardless of the precision request
+        # (measured: 1.7e-2 error after ONE iteration).  A 3-way bf16
+        # split (8+8+8 mantissa bits) with the 6 significant cross terms
+        # recovers ~f32 accuracy — the classic f32-via-bf16 passes scheme.
+        a0 = a.astype(bf)
+        r = a - a0.astype(f32)
+        a1 = r.astype(bf)
+        a2 = (r - a1.astype(f32)).astype(bf)
+        b0 = b.astype(bf)
+        rb = b - b0.astype(f32)
+        b1 = rb.astype(bf)
+        b2 = (rb - b1.astype(f32)).astype(bf)
+        d = lambda u, v: jax.lax.dot_general(
+            u, v, dns, preferred_element_type=f32)
+        return (d(a0, b0)
+                + (d(a0, b1) + d(a1, b0))
+                + (d(a0, b2) + d(a1, b1) + d(a2, b0)))
 
     def mm(a, b):  # [m, k] @ [k, n]
-        return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
-                                   precision=hi,
-                                   preferred_element_type=jnp.float32)
+        return _dg(a, b, (((1,), (0,)), ((), ())))
 
     def A_mv(x):  # x [B3, D] -> (eq [B3, Re], box, pair [P, D])
-        eq = jax.lax.dot_general(x, aeq, (((1,), (1,)), ((), ())),
-                                 precision=hi,
-                                 preferred_element_type=jnp.float32)
+        eq = _dg(x, aeq, (((1,), (1,)), ((), ())))
         xs = mm(S3, x)            # [3P, D]
         pair = mm(R, n_d * xs)    # [P, D]
         return eq, x, pair
 
     def AT_mv(y_eq, y_box, y_pair):  # -> [B3, D]
-        out = jax.lax.dot_general(y_eq, aeq, (((1,), (0,)), ((), ())),
-                                  precision=hi,
-                                  preferred_element_type=jnp.float32)
+        out = _dg(y_eq, aeq, (((1,), (0,)), ((), ())))
         out = out + y_box
-        contrib = n_d * jax.lax.dot_general(
-            R, y_pair, (((0,), (0,)), ((), ())), precision=hi,
-            preferred_element_type=jnp.float32)
-        out = out + jax.lax.dot_general(
-            S3, contrib, (((0,), (0,)), ((), ())), precision=hi,
-            preferred_element_type=jnp.float32)
+        contrib = n_d * _dg(R, y_pair, (((0,), (0,)), ((), ())))
+        out = out + _dg(S3, contrib, (((0,), (0,)), ((), ())))
         return out
 
     def K_mv(x):  # structured KKT matvec
-        out = jax.lax.dot_general(x, base, (((1,), (1,)), ((), ())),
-                                  precision=hi,
-                                  preferred_element_type=jnp.float32)
+        out = _dg(x, base, (((1,), (1,)), ((), ())))
         # out[i, d] += sum_j coupling[(j, i), d] * x[j, d]
         # contiguous static row blocks (j-major host layout) — strided
         # slices lower to gathers, which Mosaic rejects
@@ -84,9 +92,7 @@ def _body(base, base_inv, coupling, aeq, S3, R, n_d, lb, ub, deq, pair_l,
         return out
 
     def precond(r):
-        return jax.lax.dot_general(r, base_inv, (((1,), (1,)), ((), ())),
-                                   precision=hi,
-                                   preferred_element_type=jnp.float32)
+        return _dg(r, base_inv, (((1,), (1,)), ((), ())))
 
     def cg_solve(rhs, x0):
         x = x0
