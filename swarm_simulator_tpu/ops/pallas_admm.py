@@ -46,19 +46,29 @@ def _body(base, base_inv, coupling, aeq, S3, R, n_d, lb, ub, deq, pair_l,
     hi = jax.lax.Precision.HIGHEST
     bf = jnp.bfloat16
 
+    def _split3(a):
+        # top-16-bit mask: the split parts land exactly on the bf16 grid,
+        # so later casts are value-preserving and the compiler cannot
+        # collapse the split (plain bf16 round-trips are elided under
+        # --xla_allow_excess_precision, which silently degraded the
+        # arithmetic back to single-pass bf16)
+        u32 = jnp.uint32
+        mask = u32(0xFFFF0000)
+        ua = jax.lax.bitcast_convert_type(a, u32)
+        a0 = jax.lax.bitcast_convert_type(ua & mask, f32)
+        r = a - a0
+        ur = jax.lax.bitcast_convert_type(r, u32)
+        a1 = jax.lax.bitcast_convert_type(ur & mask, f32)
+        a2 = r - a1
+        return a0.astype(bf), a1.astype(bf), a2.astype(bf)
+
     def _dg(a, b, dns):
         # Mosaic feeds the MXU bf16 regardless of the precision request
         # (measured: 1.7e-2 error after ONE iteration).  A 3-way bf16
-        # split (8+8+8 mantissa bits) with the 6 significant cross terms
-        # recovers ~f32 accuracy — the classic f32-via-bf16 passes scheme.
-        a0 = a.astype(bf)
-        r = a - a0.astype(f32)
-        a1 = r.astype(bf)
-        a2 = (r - a1.astype(f32)).astype(bf)
-        b0 = b.astype(bf)
-        rb = b - b0.astype(f32)
-        b1 = rb.astype(bf)
-        b2 = (rb - b1.astype(f32)).astype(bf)
+        # split (~8+8+8 mantissa bits) with the 6 significant cross terms
+        # recovers f32-class accuracy — the classic f32-via-bf16 scheme.
+        a0, a1, a2 = _split3(a)
+        b0, b1, b2 = _split3(b)
         d = lambda u, v: jax.lax.dot_general(
             u, v, dns, preferred_element_type=f32)
         return (d(a0, b0)
