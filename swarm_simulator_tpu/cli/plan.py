@@ -21,6 +21,12 @@ import sys
 def build_argparser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--mission", required=True, help="mission JSON path")
+    p.add_argument("--preset", default=None,
+                   help="launch-file preset from core.config (overrides "
+                        "world/grid/plan knobs)")
+    p.add_argument("--noise", type=float, default=0.0,
+                   help="seeded start/goal noise (applyNoise equivalent)")
+    p.add_argument("--noise-seed", type=int, default=0)
     p.add_argument("--world", default=None, help=".bt octomap world (replay)")
     p.add_argument("--forest-seed", type=int, default=None,
                    help="generate a random forest with this seed")
@@ -80,7 +86,18 @@ def main(argv=None) -> int:
     from swarm_simulator_tpu.io.mission_json import load_mission
 
     mission = load_mission(args.mission)
-    param = sst.Param(
+    if args.noise > 0:
+        mission = mission.apply_noise(args.noise, args.noise_seed)
+    if args.preset:
+        from swarm_simulator_tpu.core.config import preset as get_preset
+        import dataclasses as _dc
+        pp = get_preset(args.preset)
+        param = _dc.replace(
+            pp.param, solver_dtype=args.dtype,
+            solver_max_iter=args.max_iter,
+            corridor_mode="flat" if args.flat else pp.param.corridor_mode)
+    else:
+        param = sst.Param(
         world_x_min=args.world_min[0], world_y_min=args.world_min[1],
         world_z_min=args.world_min[2], world_x_max=args.world_max[0],
         world_y_max=args.world_max[1], world_z_max=args.world_max[2],
@@ -93,7 +110,7 @@ def main(argv=None) -> int:
         iteration=args.iteration, parallel_mode=args.parallel_mode,
         corridor_mode="flat" if args.flat else "rbp",
         solver_dtype=args.dtype, solver_max_iter=args.max_iter,
-    )
+        )
 
     world = None
     if args.world:
