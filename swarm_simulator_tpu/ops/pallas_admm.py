@@ -195,7 +195,13 @@ class PallasADMMSettings:
 
 def _prep_args(data: QPData, s: "PallasADMMSettings"):
     """Equilibrate + build the kernel operand tuple for one problem.
-    Returns (args tuple, unscale vector d)."""
+    Returns (args tuple, unscale vector d).
+
+    Must run under matmul precision "highest": the host-side prep
+    (Aeq^T Aeq, the preconditioner inverse) otherwise executes in the
+    TPU's default bf16 passes, handing the (exact) kernel a perturbed
+    KKT system — measured as a 1.7e-2 error after ONE kernel iteration
+    while every in-kernel op agreed bit-for-bit."""
     from ..qp.scaling import equilibrate
 
     adm = admm.ADMMSettings(rho=s.rho, rho_eq_scale=s.rho_eq_scale,
@@ -248,7 +254,8 @@ def solve_admm_pallas(data: QPData, settings: "PallasADMMSettings",
     (unscaled).
     """
     s = settings
-    args, d_vec, dims = _prep_args(data, s)
+    with jax.default_matmul_precision("highest"):
+        args, d_vec, dims = _prep_args(data, s)
     B = dims["B"]
     D = dims["M"] * dims["npp"]
     B3 = 3 * B
@@ -281,7 +288,8 @@ def solve_admm_pallas_batched(data: QPData, settings: "PallasADMMSettings",
     backends is seconds). Returns x [L, B, 3, D] (unscaled).
     """
     s = settings
-    prep = jax.vmap(lambda d: _prep_args(d, s)[:2])(data)
+    with jax.default_matmul_precision("highest"):
+        prep = jax.vmap(lambda d: _prep_args(d, s)[:2])(data)
     args, d_vecs = prep
     dims_probe = _prep_args(jax.tree.map(lambda a: a[0], data), s)[2]
     L = args[0].shape[0]
