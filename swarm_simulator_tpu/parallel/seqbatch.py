@@ -143,11 +143,19 @@ def solve_trajectories(
 
     # agents never solved keep their dummy trajectory (rbp_planner.hpp:187-192)
     plan.coef = convert.ctrl_to_coef(ctrl, plan.T, n)
+
+    def flat(field):
+        out = []
+        for i in infos:
+            v = np.atleast_1d(np.asarray(getattr(i, field)))
+            out.extend(v.tolist())
+        return out
+
     plan.solver_info = {
-        "iters": [int(i.iters) for i in infos],
-        "r_prim": [float(i.r_prim) for i in infos],
-        "r_dual": [float(i.r_dual) for i in infos],
-        "obj": [float(i.obj) for i in infos],
+        "iters": [int(v) for v in flat("iters")],
+        "r_prim": flat("r_prim"),
+        "r_dual": flat("r_dual"),
+        "obj": flat("obj"),
         "mode": param.parallel_mode if param.sequential else "joint",
         "solved": solved,
     }

@@ -86,3 +86,14 @@ def test_two_agent_swap_flat_corridor():
     # flat RSFC normals are axis-aligned sector vectors
     nz = result.pair_normals[np.abs(result.pair_normals) > 1e-12]
     assert np.all(np.isin(np.abs(nz), [1.0, 0.5])), nz
+
+
+def test_eight_agent_jacobi_mode():
+    param = Param(world_z_min=0.0, solver_dtype="float64", grid_xy_res=0.5,
+                  grid_z_res=0.5, sequential=True, batch_size=2,
+                  batch_iter=-1, iteration=2, parallel_mode="jacobi")
+    mission = swap_mission(8, z=1.0, span=4.0, radius=0.12)
+    result, times = plan(mission, param, search_backend="python")
+    metrics = evaluate(result, mission, param)
+    _check(result, metrics, param)
+    assert result.solver_info["mode"] == "jacobi"
