@@ -7,7 +7,7 @@ plan_rbp_random_forest.launch` knob-for-knob.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional
 
 from .types import Param

@@ -11,7 +11,6 @@ vmap/pjit-compatible (stack leading axes on all operands).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 from typing import NamedTuple
 
 import jax
