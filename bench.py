@@ -82,28 +82,61 @@ def main():
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *datas)
     n_batches = len(datas)
 
-    # --- accelerator: one Jacobi round, all agent-batches vmapped ---
-    # One dispatch solves every agent-batch QP of the 64-agent problem
-    # (the dummy-coupling refresh between rounds is host-side assembly).
-    # Dense KKT: one MXU matmul per iteration; the batched program
-    # amortizes this backend's ~9 ms per-iteration fixed overhead.
+    # --- accelerator: COMPLETE planning cycles (Jacobi rounds + dummy
+    # refresh until the plan is verified collision-free) ---
+    # One Jacobi round enforces cross-batch pair constraints only against
+    # the previous dummy state; a complete 64-agent plan needs >= 2 rounds
+    # (measured: 1 round -> safety ratio 0.90 = collision; 2 rounds
+    # verified >= 1).  The headline counts only quality-verified solves.
     import dataclasses
 
+    from swarm_simulator_tpu.eval.safety import safety_margin_ratio
+    from swarm_simulator_tpu.eval.sample import (sample_times,
+                                                 sample_trajectories)
+    from swarm_simulator_tpu.qp import convert
+
     run_round = jax.jit(lambda st_, j: admm.solve_qp_batched(
-        dataclasses.replace(st_, x0=st_.x0 + j), settings))
-    xs, info = run_round(stacked, jnp.float32(0.0))
-    np.asarray(xs)
+        dataclasses.replace(st_, x0=st_.x0 + j), settings)[0])
+
+    def full_cycle(jit_val, rounds):
+        dm = dummy.copy()
+        for rd in range(rounds):
+            ds = [assemble.assemble_batch(plan, mission, param, b, dm, pad)
+                  for b in batches]
+            stk = jax.tree.map(lambda *a: jnp.stack(a), *ds)
+            xs = np.asarray(run_round(stk, jnp.float32(jit_val)))
+            for l, b in enumerate(batches):
+                dm[b] = convert.x_to_ctrl(xs[l], plan.M, param.n)
+        return dm
+
+    def ratio_of(dm):
+        coef = convert.ctrl_to_coef(dm, plan.T, param.n)
+        ts = sample_times(np.asarray(plan.T), 0.1)
+        pos = np.asarray(sample_trajectories(
+            jnp.asarray(coef), jnp.asarray(np.asarray(plan.T)),
+            jnp.asarray(ts), n=param.n, derivatives=1))[:, :, 0]
+        return float(safety_margin_ratio(
+            jnp.asarray(pos), jnp.asarray(mission.radius),
+            downwash=param.downwash))
+
+    rounds = 2
+    dm = full_cycle(0.0, rounds)  # compile + quality check
+    r = ratio_of(dm)
+    while r < 1.0 and rounds < 4:
+        rounds += 1
+        r = ratio_of(full_cycle(0.0, rounds))
+    log(f"cycle quality: rounds={rounds} safety_ratio={r:.4f}")
+
     t0 = time.perf_counter()
-    reps = 3
-    for r in range(reps):
-        xs, info = run_round(stacked, jnp.float32(1e-6 * (r + 1)))
-        np.asarray(xs)
+    reps = 2
+    for rr in range(reps):
+        dm = full_cycle(4.3e-6 * (rr + 1), rounds)
     dt_cycle = (time.perf_counter() - t0) / reps
-    solves_per_s = n_batches / dt_cycle
-    iters = [int(i) for i in np.asarray(info.iters)[:4]]
-    log(f"jacobi round ({n_batches} batches, 1 dispatch): {dt_cycle:.3f}s "
-        f"-> {solves_per_s:.1f} solves/s  iters={iters}...  "
-        f"r_prim_max={float(np.asarray(info.r_prim).max()):.2e}")
+    n_solves = n_batches * rounds
+    solves_per_s = n_solves / dt_cycle
+    log(f"complete cycle ({rounds} rounds x {n_batches} batches, "
+        f"host dummy refresh): {dt_cycle:.3f}s -> {solves_per_s:.1f} "
+        f"verified solves/s  final_ratio={ratio_of(dm):.4f}")
 
     # --- baseline: reference architecture = one problem at a time on CPU ---
     cpu = jax.devices("cpu")[0]

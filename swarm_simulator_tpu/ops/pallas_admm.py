@@ -104,22 +104,35 @@ def _body(base, base_inv, coupling, aeq, S3, R, n_d, lb, ub, deq, pair_l,
     def precond(r):
         return _dg(r, base_inv, (((1,), (1,)), ((), ())))
 
+    eyeB3 = jax.lax.broadcasted_iota(jnp.int32, (B3, B3), 0) == \
+        jax.lax.broadcasted_iota(jnp.int32, (B3, B3), 1)
+    eyeB3 = eyeB3.astype(f32)
+
+    def dot(a, b):
+        # CG's scalar dots steer the search directions; Mosaic's plain
+        # jnp.sum reduction over the 2.6k elements injects ~50x the noise
+        # of the CPU's pairwise sums (measured as a 1.3e-2 convergence
+        # plateau).  Contract via the split-precision MXU path instead and
+        # trace the tiny [B3, B3] result.
+        tmp = _dg(a, b, (((1,), (1,)), ((), ())))  # [B3, B3]
+        return jnp.sum(tmp * eyeB3)
+
     def cg_solve(rhs, x0):
         x = x0
         r = rhs - K_mv(x)
         z = precond(r)
         p = z
-        rz = jnp.sum(r * z)
+        rz = dot(r, z)
 
         def body2(_, carry):
             x, r, p, rz = carry
             Kp = K_mv(p)
-            denom = jnp.sum(p * Kp)
+            denom = dot(p, Kp)
             al = rz / jnp.where(denom != 0, denom, 1.0)
             x = x + al * p
             r = r - al * Kp
             z = precond(r)
-            rz_new = jnp.sum(r * z)
+            rz_new = dot(r, z)
             be = rz_new / jnp.where(rz != 0, rz, 1.0)
             p = z + be * p
             return x, r, p, rz_new
