@@ -69,7 +69,12 @@ def main():
     # dense prep (Cholesky + triangular inverse, TPU-hostile) costs ~15 s
     # per cycle.  Dual tolerance sized to the measured f32 floor of this
     # problem class (see ARCHITECTURE.md).
-    settings = admm.ADMMSettings(max_iter=1500, eps_abs=2e-4, eps_rel=2e-4,
+    # max_iter=500: iteration study (tools/iters_study.py) shows the
+    # slowest batch terminates at 725 iters on CPU f32 and the verified
+    # safety ratio is unchanged (1.028) when capped at 500 — while on TPU
+    # the f32 residual floor sits marginally above the tolerance so the
+    # vmapped while_loop otherwise burns the full budget on every lane.
+    settings = admm.ADMMSettings(max_iter=500, eps_abs=2e-4, eps_rel=2e-4,
                              kkt_solver="dense", eps_dual_abs=1.5)
 
     batches, batch_iter = seqbatch.make_batches(N, param)

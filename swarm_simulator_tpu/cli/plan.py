@@ -68,6 +68,10 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="jax platform override (e.g. cpu)")
     p.add_argument("--log-dir", default=None,
                    help="write crazyswarm coef CSVs here")
+    p.add_argument("--log", action="store_true",
+                   help="verbose logging: problem-size counters + QP "
+                        "model export to log/ (the reference's log flag, "
+                        "param.hpp:45)")
     p.add_argument("--json", action="store_true",
                    help="print metrics as one JSON line")
     return p
@@ -94,7 +98,7 @@ def main(argv=None) -> int:
         pp = get_preset(args.preset)
         param = _dc.replace(
             pp.param, solver_dtype=args.dtype,
-            solver_max_iter=args.max_iter,
+            solver_max_iter=args.max_iter, log=args.log,
             corridor_mode="flat" if args.flat else pp.param.corridor_mode)
     else:
         param = sst.Param(
@@ -110,6 +114,7 @@ def main(argv=None) -> int:
         iteration=args.iteration, parallel_mode=args.parallel_mode,
         corridor_mode="flat" if args.flat else "rbp",
         solver_dtype=args.dtype, solver_max_iter=args.max_iter,
+        log=args.log,
         )
 
     world = None

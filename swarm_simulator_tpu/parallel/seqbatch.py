@@ -86,6 +86,25 @@ def solve_trajectories(
         pair_counts.append(cnt)
     pad_pairs = max(pair_counts) if pair_counts else 0
 
+    # problem-size counters, printed by the reference after each solve
+    # (rbp_planner.hpp:58-60); exposed in solver_info and on param.log
+    from ..utils.timing import ProblemSize
+    B_eff = param.batch_size if param.sequential else N
+    psize = ProblemSize.of_batch(min(B_eff, N), M, n, param.phi, pad_pairs)
+    if param.log:
+        print(psize)
+
+    def _maybe_export(datas):
+        # QP-model export on log, like the reference's exportModel to
+        # log/ (rbp_planner.hpp:150-153)
+        if not param.log:
+            return
+        from pathlib import Path
+        d = Path("log")
+        d.mkdir(exist_ok=True)
+        for l, dd in enumerate(datas):
+            assemble.export_qp_npz(str(d / f"qp_batch{l}.npz"), dd)
+
     solved = np.zeros(N, dtype=bool)
     if param.parallel_mode == "gauss-seidel" and batch_iter > 0:
         # reference GS semantics as ONE compiled device program (scan over
@@ -98,6 +117,7 @@ def solve_trajectories(
         datas = [assemble.assemble_batch(plan, mission, param, b, dummy,
                                          pad_pairs)
                  for b in batches[:batch_iter]]
+        _maybe_export(datas)
         stacked = _stack_qpdata(datas)
         ctrl_dev, info = pmesh.gauss_seidel_sweep(
             stacked, jnp.asarray(dummy), settings,
@@ -113,6 +133,7 @@ def solve_trajectories(
             "r_dual": [float(v) for v in np.asarray(info.r_dual)],
             "obj": [float(v) for v in np.asarray(info.obj)],
             "mode": "gauss-seidel-device", "solved": solved,
+            "problem_size": str(psize),
         }
         return plan
 
@@ -121,6 +142,8 @@ def solve_trajectories(
             datas = [assemble.assemble_batch(plan, mission, param, b, dummy,
                                              pad_pairs)
                      for b in batches[:batch_iter]]
+            if it == 0:
+                _maybe_export(datas)
             stacked = _stack_qpdata(datas)
             xs, info = admm.solve_qp_batched(stacked, settings)
             xs = np.asarray(xs)
@@ -134,6 +157,8 @@ def solve_trajectories(
             for l, batch in enumerate(batches[:batch_iter]):
                 data = assemble.assemble_batch(plan, mission, param, batch,
                                                dummy, pad_pairs)
+                if it == 0 and l == 0:
+                    _maybe_export([data])
                 x, info = admm.solve_qp(data, settings)
                 cb = convert.x_to_ctrl(np.asarray(x), M, n)
                 ctrl[batch] = cb
@@ -158,6 +183,7 @@ def solve_trajectories(
         "obj": flat("obj"),
         "mode": param.parallel_mode if param.sequential else "joint",
         "solved": solved,
+        "problem_size": str(psize),
     }
     return plan
 

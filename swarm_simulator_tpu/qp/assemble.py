@@ -241,3 +241,16 @@ def assemble_batch(
         pair_qi=jnp.asarray(pair_qi), pair_qj=jnp.asarray(pair_qj),
         pair_rsum=f(pair_rsum),
     )
+
+
+def export_qp_npz(path: str, data: QPData) -> None:
+    """Persist one batch QP to .npz — the TPU-native analog of the
+    reference's LP-model export when logging (exportModel to log/,
+    rbp_planner.hpp:150-153).  Every QPData block is saved under its
+    field name; np.load(path) reconstructs the full program for offline
+    inspection or replay through any solver."""
+    import dataclasses
+
+    arrays = {f.name: np.asarray(getattr(data, f.name))
+              for f in dataclasses.fields(data)}
+    np.savez_compressed(path, **arrays)

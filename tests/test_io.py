@@ -70,3 +70,31 @@ def test_reference_golden_solution_is_collision_free_by_our_metrics():
 
     # trajectories start/end reasonably within the world
     assert np.all(np.abs(pos[:, :, :2]) < 5.5)
+
+
+def test_log_flag_exports_qp_and_problem_size(tmp_path, monkeypatch):
+    """param.log turns on the reference's logging surface: problem-size
+    counters (rbp_planner.hpp:58-60) and QP-model export (the LP export,
+    rbp_planner.hpp:150-153) as npz under log/."""
+    from swarm_simulator_tpu import Param, plan
+    from swarm_simulator_tpu.io.mission_json import swap_mission
+
+    monkeypatch.chdir(tmp_path)
+    param = Param(world_z_min=0.0, solver_dtype="float64", grid_xy_res=0.5,
+                  grid_z_res=0.5, log=True)
+    mission = swap_mission(2, z=0.5, span=1.0, radius=0.25)
+    result, _ = plan(mission, param, search_backend="python")
+
+    info = result.solver_info
+    assert "x size=" in info["problem_size"]
+    assert "eq const size=" in info["problem_size"]
+
+    f = tmp_path / "log" / "qp_batch0.npz"
+    assert f.exists()
+    qp = np.load(f)
+    # the exported program must be the solved one: structured blocks with
+    # the documented shapes (QPData docstring)
+    D = result.M * 6
+    assert qp["lb"].shape == (mission.qn, 3, D)
+    assert qp["Aeq"].shape[1] == D
+    assert qp["pair_n"].shape[0] >= 1
