@@ -125,3 +125,34 @@ def test_gauss_seidel_sweep_on_device():
     from swarm_simulator_tpu.qp import convert
     coef_dev = convert.ctrl_to_coef(ctrl, plan.T, param.n)
     np.testing.assert_allclose(coef_dev, ctrl_host, atol=5e-4)
+
+
+def test_jacobi_sweep_iters_schedule():
+    """A decreasing per-round iteration budget gives the same converged
+    sweep as the uniform budget (later rounds warm-start and need fewer
+    iterations), and mismatched schedule length is rejected."""
+    from swarm_simulator_tpu.parallel import mesh as pmesh
+    from swarm_simulator_tpu.parallel import seqbatch
+    from swarm_simulator_tpu.qp import admm, assemble
+
+    plan, mission, param = _setup(n_agents=6, M=4, batch_size=2)
+    batches, _ = seqbatch.make_batches(mission.qn, param)
+    dummy = assemble.build_dummy(plan.init_traj, param.n)
+    members = [set(int(q) for q in b) for b in batches]
+    pad = max(sum(1 for (qi, qj) in np.asarray(plan.pair_idx)
+                  if int(qi) in m or int(qj) in m) for m in members)
+    datas = [assemble.assemble_batch(plan, mission, param, b, dummy, pad)
+             for b in batches]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *datas)
+    settings = admm.ADMMSettings(max_iter=1500, eps_abs=1e-6, eps_rel=1e-6)
+
+    ctrl_u, _ = pmesh.jacobi_sweep(stacked, jnp.asarray(dummy), settings,
+                                   rounds=2)
+    ctrl_s, _ = pmesh.jacobi_sweep(stacked, jnp.asarray(dummy), settings,
+                                   rounds=2, iters_schedule=(1500, 700))
+    np.testing.assert_allclose(np.asarray(ctrl_s), np.asarray(ctrl_u),
+                               atol=1e-5)
+
+    with pytest.raises(ValueError, match="iters_schedule"):
+        pmesh.jacobi_sweep(stacked, jnp.asarray(dummy), settings,
+                           rounds=2, iters_schedule=(100,))

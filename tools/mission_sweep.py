@@ -1,0 +1,72 @@
+"""Parity sweep: every mission JSON shipped with the reference, planned
+end-to-end by this framework (CPU float64, sequential batching for the
+larger swarms), results to benchmarks/mission_sweep_cpu_f64.jsonl.
+
+The reference's launch files pair missions with specific worlds; here every
+mission runs in the empty default 10x10x2.5 world (the launch default,
+plan_rbp_random_forest.launch:23-28), which all mission start/goal points
+fit inside."""
+import glob
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+sys.path.insert(0, "/root/repo")
+import swarm_simulator_tpu as sst  # noqa: E402
+from swarm_simulator_tpu.io.mission_json import load_mission  # noqa: E402
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    out_path = "benchmarks/mission_sweep_cpu_f64.jsonl"
+    os.makedirs("benchmarks", exist_ok=True)
+    rows = []
+    for mf in sorted(glob.glob(
+            "/root/reference/swarm_planner/missions/*.json")):
+        name = os.path.basename(mf)
+        mission = load_mission(mf)
+        N = mission.qn
+        seq = N > 8
+        param = sst.Param(world_z_min=0.0, solver_dtype="float64",
+                          grid_xy_res=0.5, grid_z_res=1.0,
+                          sequential=seq, batch_size=4, batch_iter=-1)
+        t0 = time.perf_counter()
+        try:
+            result, times = sst.plan(mission, param)
+            metrics = sst.evaluate(result, mission, param)
+            row = {"mission": name, "agents": N, "M": int(result.M),
+                   "makespan": float(result.T[-1]),
+                   "min_safety_ratio": round(
+                       float(metrics["min_safety_ratio"]), 4),
+                   "flight_distance": round(
+                       float(metrics["flight_distance"]), 1),
+                   "goal_err": float(metrics["goal_err"]),
+                   "wall_s": round(time.perf_counter() - t0, 1),
+                   "ok": bool(metrics["min_safety_ratio"] >= 1.0
+                              and metrics["goal_err"] < 1e-4)}
+        except Exception as e:  # infeasible search etc.
+            row = {"mission": name, "agents": N, "error": str(e)[:120],
+                   "wall_s": round(time.perf_counter() - t0, 1),
+                   "ok": False}
+        rows.append(row)
+        log(row)
+    with open(out_path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    n_ok = sum(r["ok"] for r in rows)
+    log(f"{n_ok}/{len(rows)} missions planned collision-free")
+
+
+if __name__ == "__main__":
+    main()
