@@ -100,19 +100,22 @@ def main():
                                                  sample_trajectories)
     from swarm_simulator_tpu.qp import convert
 
-    run_round = jax.jit(lambda st_, j: admm.solve_qp_batched(
-        dataclasses.replace(st_, x0=st_.x0 + j), settings)[0])
+    # Device-resident cycle (parallel/mesh.py jacobi_sweep): the whole
+    # multi-round sweep is ONE dispatch — per-round coupling refresh
+    # (pair rhs + warm start from the shared dummy state) happens on
+    # device, and the KKT factorization/equilibration, which depends only
+    # on problem structure, is computed once and reused by every round.
+    from swarm_simulator_tpu.parallel import mesh as pmesh
 
     def full_cycle(jit_val, rounds):
-        dm = dummy.copy()
-        for rd in range(rounds):
-            ds = [assemble.assemble_batch(plan, mission, param, b, dm, pad)
-                  for b in batches]
-            stk = jax.tree.map(lambda *a: jnp.stack(a), *ds)
-            xs = np.asarray(run_round(stk, jnp.float32(jit_val)))
-            for l, b in enumerate(batches):
-                dm[b] = convert.x_to_ctrl(xs[l], plan.M, param.n)
-        return dm
+        dm0 = jnp.asarray(dummy, dtype=jnp.float32) + jnp.float32(jit_val)
+        # decreasing per-round budget: rounds >= 1 warm-start from the
+        # refreshed dummy and need <= 275 iterations (tools/iters_study.py)
+        sched = (500,) + (300,) * (rounds - 1)
+        ctrl, _info = pmesh.jacobi_sweep(stacked, dm0, settings,
+                                         rounds=rounds,
+                                         iters_schedule=sched)
+        return np.asarray(ctrl, dtype=np.float64)
 
     def ratio_of(dm):
         coef = convert.ctrl_to_coef(dm, plan.T, param.n)
@@ -140,7 +143,7 @@ def main():
     n_solves = n_batches * rounds
     solves_per_s = n_solves / dt_cycle
     log(f"complete cycle ({rounds} rounds x {n_batches} batches, "
-        f"host dummy refresh): {dt_cycle:.3f}s -> {solves_per_s:.1f} "
+        f"device-resident sweep): {dt_cycle:.3f}s -> {solves_per_s:.1f} "
         f"verified solves/s  final_ratio={ratio_of(dm):.4f}")
 
     # --- baseline: reference architecture = one problem at a time on CPU ---

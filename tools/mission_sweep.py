@@ -38,8 +38,22 @@ def main():
         mission = load_mission(mf)
         N = mission.qn
         seq = N > 8
-        param = sst.Param(world_z_min=0.0, solver_dtype="float64",
+        # world AABB sized to the mission (the launch files pair each
+        # mission with a world; the _aty missions span x in [-8, 8])
+        pts = np.concatenate([mission.start[:, :3], mission.goal[:, :3]])
+        lo = np.minimum(pts.min(axis=0) - 1.0, [-5.0, -5.0, 0.0])
+        hi = np.maximum(pts.max(axis=0) + 1.0, [5.0, 5.0, 2.5])
+        # EDT saturation must exceed the obstacle threshold r+margin, or
+        # every cell reads as blocked (the reference hard-codes maxDist=1,
+        # swarm_traj_planner_rbp.cpp:77, and genuinely fails the r=1.2
+        # mission_8agents_120 this way)
+        rmax = float(np.max(mission.radius))
+        param = sst.Param(world_x_min=float(lo[0]), world_y_min=float(lo[1]),
+                          world_z_min=0.0, world_x_max=float(hi[0]),
+                          world_y_max=float(hi[1]), world_z_max=float(hi[2]),
+                          solver_dtype="float64",
                           grid_xy_res=0.5, grid_z_res=1.0,
+                          esdf_max_dist=max(1.0, rmax + 0.2 + 0.1),
                           sequential=seq, batch_size=4, batch_iter=-1)
         t0 = time.perf_counter()
         try:
