@@ -156,3 +156,43 @@ def test_jacobi_sweep_iters_schedule():
     with pytest.raises(ValueError, match="iters_schedule"):
         pmesh.jacobi_sweep(stacked, jnp.asarray(dummy), settings,
                            rounds=2, iters_schedule=(100,))
+
+
+def test_distributed_single_process_paths():
+    """Single-process degeneration of the multi-host glue: global mesh,
+    scenario sharding, and cross-process stacking all reduce to the local
+    mesh primitives (multi-host only adds the initialize() call)."""
+    from swarm_simulator_tpu.parallel import distributed, seqbatch
+    from swarm_simulator_tpu.parallel import mesh as pmesh
+    from swarm_simulator_tpu.qp import admm, assemble
+
+    distributed.initialize()  # no-op without a coordinator
+    m = distributed.global_mesh(n_scenario=2, n_batch=4)
+    assert m.shape == {"scenario": 2, "batch": 4}
+
+    # contiguous scenario partition covering everything exactly once
+    idx = [distributed.scenario_shard(10, process_id=p, num_processes=3)
+           for p in range(3)]
+    assert np.concatenate(idx).tolist() == list(range(10))
+    assert {len(i) for i in idx} == {4, 3}
+
+    # stacked QP solved through the cross-process stacking path
+    # (8 agents / batch_size 2 -> 4 groups, matching the batch axis)
+    plan, mission, param = _setup(n_agents=8, M=3, batch_size=2)
+    batches, _ = seqbatch.make_batches(mission.qn, param)
+    dummy = assemble.build_dummy(plan.init_traj, param.n)
+    members = [set(int(q) for q in b) for b in batches]
+    pad = max(sum(1 for (qi, qj) in np.asarray(plan.pair_idx)
+                  if int(qi) in mm or int(qj) in mm) for mm in members)
+    datas = [assemble.assemble_batch(plan, mission, param, b, dummy, pad)
+             for b in batches]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *datas)
+    g = distributed.stack_across_processes(
+        stacked, m, axes=("batch",))
+    settings = admm.ADMMSettings(max_iter=800, eps_abs=1e-6, eps_rel=1e-6)
+    ctrl, _ = pmesh.jacobi_sweep(g, jnp.asarray(dummy), settings, rounds=2)
+    ctrl = np.asarray(ctrl)
+    np.testing.assert_allclose(ctrl[:, 0, 0], mission.start[:, :3],
+                               atol=1e-4)
+    np.testing.assert_allclose(ctrl[:, -1, -1], mission.goal[:, :3],
+                               atol=1e-4)
