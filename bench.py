@@ -110,8 +110,12 @@ def main():
     def full_cycle(jit_val, rounds):
         dm0 = jnp.asarray(dummy, dtype=jnp.float32) + jnp.float32(jit_val)
         # decreasing per-round budget: rounds >= 1 warm-start from the
-        # refreshed dummy and need <= 275 iterations (tools/iters_study.py)
-        sched = (500,) + (300,) * (rounds - 1)
+        # refreshed dummy and need fewer iterations (tools/iters_study.py);
+        # safe because the quality gate below verifies the OUTPUT, not the
+        # solver state: collisions, knot continuity, endpoint pins, and
+        # box containment all plateau well inside these budgets (measured
+        # flat from (500,300) down to (150,100); (250,150) keeps margin)
+        sched = (250,) + (150,) * (rounds - 1)
         ctrl, _info = pmesh.jacobi_sweep(stacked, dm0, settings,
                                          rounds=rounds,
                                          iters_schedule=sched)
@@ -127,13 +131,39 @@ def main():
             jnp.asarray(pos), jnp.asarray(mission.radius),
             downwash=param.downwash))
 
+    def quality_ok(dm):
+        """Full acceptance: collision-free AND converged equalities/boxes
+        (the reference's publisher metrics, rbp_publisher.hpp:769-798)."""
+        ratio = ratio_of(dm)
+        # C^2 knot continuity of the Bernstein control polygons
+        cont = []
+        d = dm.copy()
+        deg = param.n
+        for _ in range(3):
+            cont.append(np.abs(d[:, 1:, 0] - d[:, :-1, -1]).max())
+            d = deg * np.diff(d, axis=2)
+            deg -= 1
+        start_err = np.abs(dm[:, 0, 0] - mission.start[:, :3]).max()
+        goal_err = np.abs(dm[:, -1, -1] - mission.goal[:, :3]).max()
+        # SFC box containment of every control point
+        boxes = plan.seg_boxes  # [N, M, 6] (xyz_min, xyz_max)
+        viol = np.maximum(boxes[:, :, None, :3] - dm,
+                          dm - boxes[:, :, None, 3:]).max()
+        log(f"  gate: ratio={ratio:.4f} cont={cont[0]:.1e}/{cont[1]:.1e}/"
+            f"{cont[2]:.1e} endpoints={max(start_err, goal_err):.1e} "
+            f"box_viol={viol:.1e}")
+        return (ratio >= 1.0 and cont[0] < 1e-3 and cont[2] < 5e-3
+                and max(start_err, goal_err) < 1e-4 and viol < 1e-3)
+
     rounds = 2
     dm = full_cycle(0.0, rounds)  # compile + quality check
-    r = ratio_of(dm)
-    while r < 1.0 and rounds < 4:
+    ok = quality_ok(dm)
+    while not ok and rounds < 4:
         rounds += 1
-        r = ratio_of(full_cycle(0.0, rounds))
-    log(f"cycle quality: rounds={rounds} safety_ratio={r:.4f}")
+        dm = full_cycle(0.0, rounds)
+        ok = quality_ok(dm)
+    r = ratio_of(dm)
+    log(f"cycle quality: rounds={rounds} safety_ratio={r:.4f} gate_ok={ok}")
 
     t0 = time.perf_counter()
     reps = 2

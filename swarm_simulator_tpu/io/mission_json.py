@@ -106,3 +106,37 @@ def swap_mission(n_agents: int = 2, *, z: float = 0.5, span: float = 1.0,
         max_acc=np.full((n_agents, 3), max_acc),
         names=["default"] * n_agents,
     )
+
+
+def scatter_mission(n_agents: int, *, half: float = 9.5, z: float = 1.0,
+                    min_sep: float = 0.9, radius: float = 0.15,
+                    speed: float = 1.0, max_vel: float = 1.7,
+                    max_acc: float = 6.2, seed: int = 0) -> Mission:
+    """Seeded random start/goal scatter at constant altitude — the
+    large-swarm workload (conflicts are spatially sparse, unlike the
+    all-through-center perimeter swap, so search stays tractable at
+    hundreds of agents).  min_sep > grid diagonal/2 keeps snapped cells
+    distinct."""
+    rng = np.random.default_rng(seed)
+
+    def scatter() -> np.ndarray:
+        pts: list[np.ndarray] = []
+        while len(pts) < n_agents:
+            p = rng.uniform(-half, half, size=2)
+            if not pts or np.min(
+                    np.linalg.norm(np.asarray(pts) - p, axis=1)) >= min_sep:
+                pts.append(p)
+        return np.asarray(pts)
+
+    start = np.zeros((n_agents, 9))
+    goal = np.zeros((n_agents, 9))
+    start[:, :2] = scatter()
+    goal[:, :2] = scatter()
+    start[:, 2] = goal[:, 2] = z
+    return Mission(
+        start=start, goal=goal,
+        radius=np.full(n_agents, radius), speed=np.full(n_agents, speed),
+        max_vel=np.full((n_agents, 3), max_vel),
+        max_acc=np.full((n_agents, 3), max_acc),
+        names=["default"] * n_agents,
+    )
