@@ -82,9 +82,10 @@ def main():
     members = [set(int(q) for q in b) for b in batches]
     pad = max(sum(1 for (qi, qj) in np.asarray(plan.pair_idx)
                   if int(qi) in m or int(qj) in m) for m in members)
-    datas = [assemble.assemble_batch(plan, mission, param, b, dummy, pad)
+    datas = [assemble.assemble_batch(plan, mission, param, b, dummy, pad,
+                                     device=False)
              for b in batches]
-    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *datas)
+    stacked = jax.tree.map(lambda *xs: jnp.stack(np.stack(xs)), *datas)
     n_batches = len(datas)
 
     # --- accelerator: COMPLETE planning cycles (Jacobi rounds + dummy

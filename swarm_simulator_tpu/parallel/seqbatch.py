@@ -53,10 +53,14 @@ def solve_trajectories(
             # dense: one big MXU matmul per iteration — wins for small
             # batch QPs (the CG inner loop is ~70 tiny sequential ops per
             # iteration, latency-bound on TPU).  cg: O(D^2) memory — the
-            # only viable mode for large joint problems.
+            # only viable mode for large joint problems.  The memory that
+            # matters is the STACKED dense inverses: the device-resident
+            # sweeps hold every batch's [nx, nx] inverse in HBM at once
+            # (64 batches of 4 agents at M=72 -> 6.9 GB -> OOM on v5e).
             B_eff = param.batch_size if param.sequential else N
+            n_groups = int(np.ceil(N / B_eff)) if param.sequential else 1
             nx = 3 * B_eff * plan.M * (param.n + 1)
-            kkt = "dense" if nx * nx * 4 < 120e6 else "cg"
+            kkt = "dense" if n_groups * nx * nx * 4 < 2e9 else "cg"
         settings = admm.ADMMSettings(max_iter=param.solver_max_iter,
                                      eps_abs=param.solver_eps_abs,
                                      eps_rel=param.solver_eps_rel,

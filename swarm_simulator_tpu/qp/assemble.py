@@ -155,12 +155,18 @@ def assemble_batch(
     batch_agents: np.ndarray,
     dummy: np.ndarray,  # [N, M, n+1, 3]
     pad_pairs: int | None = None,
+    device: bool = True,
 ) -> QPData:
     """Build the QPData for one (sequential) batch of agents.
 
     Pairs with exactly one batch member enter as one-sided constraints
     against the fixed agent's ``dummy`` control points
     (populatebyrow, rbp_planner.hpp:638-684).
+
+    device=False keeps the leaves as host numpy arrays: when many
+    batches are assembled then stacked, this defers the host->device
+    transfer to ONE call after stacking (on a tunneled remote backend,
+    per-batch transfers dominate assembly by orders of magnitude).
     """
     n, phi = param.n, param.phi
     T = np.asarray(plan.T)
@@ -231,14 +237,16 @@ def assemble_batch(
 
     x0 = dummy[batch_agents].reshape(B, D, 3).transpose(0, 2, 1).copy()
 
-    dtype = jnp.float64 if param.solver_dtype == "float64" else jnp.float32
-    f = lambda a: jnp.asarray(a, dtype=dtype)
+    xp = jnp if device else np
+    dtype = xp.float64 if param.solver_dtype == "float64" else xp.float32
+    f = lambda a: xp.asarray(a, dtype=dtype)
+    g = xp.asarray
     return QPData(
         Qseg=f(Qseg), Aeq=f(Aeq), deq=f(deq), lb=f(lb), ub=f(ub),
-        pair_bi=jnp.asarray(pair_bi), pair_bj=jnp.asarray(pair_bj),
+        pair_bi=g(pair_bi), pair_bj=g(pair_bj),
         pair_n=f(pair_n), pair_rhs=f(pair_rhs), pair_mask=f(pair_mask),
-        x0=f(x0), agents=jnp.asarray(batch_agents, dtype=jnp.int32),
-        pair_qi=jnp.asarray(pair_qi), pair_qj=jnp.asarray(pair_qj),
+        x0=f(x0), agents=g(batch_agents.astype(np.int32)),
+        pair_qi=g(pair_qi), pair_qj=g(pair_qj),
         pair_rsum=f(pair_rsum),
     )
 

@@ -76,14 +76,25 @@ def main():
     pad = max(sum(1 for (qi, qj) in np.asarray(plan.pair_idx)
                   if int(qi) in m or int(qj) in m) for m in members)
     t0 = time.perf_counter()
-    datas = [assemble.assemble_batch(plan, mission, param, b, dummy, pad)
+    # numpy assembly + ONE host->device transfer after stacking (per-batch
+    # transfers over a tunneled backend would dominate: measured 213 s for
+    # 64 batches vs ~4 s this way)
+    datas = [assemble.assemble_batch(plan, mission, param, b, dummy, pad,
+                                     device=False)
              for b in batches]
-    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *datas)
+    stacked = jax.tree.map(lambda *xs: jnp.stack(np.stack(xs)), *datas)
     t_asm = time.perf_counter() - t0
     log(f"assemble: {t_asm:.2f}s  batches={len(datas)} pad={pad}")
 
+    # KKT mode by STACKED memory: the dense inverse is [nx, nx] per batch
+    # and all batches live in HBM at once (64 batches at nx=5184 -> 6.9 GB
+    # -> ResourceExhausted on v5e); structured CG is O(D^2 + D*(3B)^2)
+    nx = 3 * param.batch_size * datas[0].lb.shape[-1]
+    kkt = "dense" if len(datas) * nx * nx * 4 < 2e9 else "cg"
+    log(f"kkt={kkt} (stacked dense inverses would be "
+        f"{len(datas) * nx * nx * 4 / 1e9:.1f} GB)")
     settings = admm.ADMMSettings(max_iter=500, eps_abs=2e-4, eps_rel=2e-4,
-                                 kkt_solver="dense", eps_dual_abs=1.5)
+                                 kkt_solver=kkt, eps_dual_abs=1.5)
     sched = (350,) + (250,) * (args.rounds - 1)
 
     def cycle(jit_val):
