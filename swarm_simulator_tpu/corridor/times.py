@@ -40,11 +40,16 @@ def build_corridors(esdf: ESDF, plan: PlanResult, radius: np.ndarray,
     pair_idx, normals = build_rsfc(plan.init_traj, param.downwash)
     plan.pair_idx = pair_idx
     plan.pair_normals = np.asarray(normals, dtype=np.float64)
-    # raw (normal, end_time) list form for parity with RSFC_t
-    plan.rsfc = {}
+    # raw (normal, end_time) list form for parity with RSFC_t — a debug/
+    # parity view fully derivable from pair_normals + T, so it is only
+    # materialized at small scale (building 2.3M python tuples for a
+    # 256-agent problem measured 35 s, dominating corridor time)
     M = plan.M
-    for p, (qi, qj) in enumerate(pair_idx):
-        plan.rsfc[(int(qi), int(qj))] = [
-            (plan.pair_normals[p, m], float(plan.T[m + 1])) for m in range(M)
-        ]
+    if len(pair_idx) * M <= 200_000:
+        plan.rsfc = {}
+        for p, (qi, qj) in enumerate(pair_idx):
+            plan.rsfc[(int(qi), int(qj))] = [
+                (plan.pair_normals[p, m], float(plan.T[m + 1]))
+                for m in range(M)
+            ]
     return plan

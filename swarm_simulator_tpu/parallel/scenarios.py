@@ -58,15 +58,20 @@ def prep_scenarios(scenarios: list[Scenario], param: Param,
 
 def solve_scenarios(scenarios: list[Scenario], param: Param,
                     settings: admm.ADMMSettings | None = None) -> list[Scenario]:
-    """Batched device solves, scenarios bucketed by segment count.
+    """Batched device solves, scenarios bucketed by (segments, agents).
 
-    Within a bucket every (scenario, agent-batch) QP is stacked on one
-    leading axis and solved by a single solve_qp_batched call; the
-    Gauss-Seidel dummy semantics degrade to Jacobi across agent-batches
-    (iterate via param.iteration if needed).
+    Each bucket becomes ONE device dispatch: per-scenario agent-batch
+    stacks [L, ...] are stacked again on a scenario axis [S, L, ...]
+    (numpy assembly, a single host->device transfer) and the whole
+    multi-round Jacobi sweep — coupling refresh, warm starts, dummy
+    exchange — runs on device via vmap(jacobi_sweep).  This is the
+    (scenario x batch) mesh layout: shard the leading axes to spread
+    Monte-Carlo over hosts/DCN and agent groups over ICI.
     """
     import jax
     import jax.numpy as jnp
+
+    from . import mesh as pmesh
 
     if settings is None:
         settings = admm.ADMMSettings(
@@ -74,49 +79,47 @@ def solve_scenarios(scenarios: list[Scenario], param: Param,
             eps_rel=param.solver_eps_rel, kkt_solver="cg",
             adaptive_rho=True, eps_dual_abs=0.5)
 
-    buckets: dict[int, list[int]] = {}
+    buckets: dict[tuple[int, int], list[int]] = {}
     for i, sc in enumerate(scenarios):
         if sc.plan is not None and sc.error is None:
-            buckets.setdefault(sc.plan.M, []).append(i)
+            buckets.setdefault((sc.plan.M, sc.mission.qn), []).append(i)
 
-    for M, idxs in sorted(buckets.items()):
-        jobs = []  # (scenario idx, batch agents, QPData)
-        dummies = {}
-        pad = 0
-        metas = []
-        for i in idxs:
-            sc = scenarios[i]
-            plan = sc.plan
-            batches, batch_iter = seqbatch.make_batches(sc.mission.qn, param)
-            dummy = assemble.build_dummy(plan.init_traj, param.n, M)
-            dummies[i] = dummy
-            for b in batches[:batch_iter]:
-                members = set(int(q) for q in b)
-                cnt = sum(1 for (qi, qj) in np.asarray(plan.pair_idx)
-                          if int(qi) in members or int(qj) in members)
-                pad = max(pad, cnt)
-                metas.append((i, b))
-        if not metas:
+    rounds = max(1, param.iteration)
+    for (M, qn), idxs in sorted(buckets.items()):
+        batches, batch_iter = seqbatch.make_batches(qn, param)
+        if batch_iter == 0:
             continue
-        # Jacobi across agent-batches: iterate so cross-batch coupling sees
-        # refreshed dummies (param.iteration rounds, reference :140)
-        ctrls = dummies
-        for _round in range(max(1, param.iteration)):
-            datas = [assemble.assemble_batch(
-                scenarios[i].plan, scenarios[i].mission, param, b,
-                ctrls[i], pad) for (i, b) in metas]
-            stacked = seqbatch._stack_qpdata(datas)
-            xs, info = admm.solve_qp_batched(stacked, settings)
-            xs = np.asarray(xs)
-            new_ctrls = {i: ctrls[i].copy() for i in idxs}
-            for row, (i, b) in enumerate(metas):
-                new_ctrls[i][b] = convert.x_to_ctrl(xs[row][: len(b)], M,
-                                                    param.n)
-            ctrls = new_ctrls
+        pad = 0
         for i in idxs:
             plan = scenarios[i].plan
-            plan.coef = convert.ctrl_to_coef(ctrls[i], plan.T, param.n)
-            plan.solver_info = {"mode": "scenario-batched", "M": M}
+            for b in batches[:batch_iter]:
+                members = set(int(q) for q in b)
+                pad = max(pad, sum(
+                    1 for (qi, qj) in np.asarray(plan.pair_idx)
+                    if int(qi) in members or int(qj) in members))
+        per_scenario = []
+        dummies = []
+        for i in idxs:
+            sc = scenarios[i]
+            dummy = assemble.build_dummy(sc.plan.init_traj, param.n, M)
+            dummies.append(dummy)
+            datas = [assemble.assemble_batch(sc.plan, sc.mission, param, b,
+                                             dummy, pad, device=False)
+                     for b in batches[:batch_iter]]
+            per_scenario.append(seqbatch._stack_qpdata(datas))
+        stacked = jax.tree.map(
+            lambda *xs: jnp.asarray(np.stack(xs)), *per_scenario)
+        dm0 = jnp.asarray(np.stack(dummies), dtype=stacked.lb.dtype)
+
+        ctrls, _info = jax.vmap(
+            lambda s_, d_: pmesh.jacobi_sweep(s_, d_, settings,
+                                              rounds=rounds))(stacked, dm0)
+        ctrls = np.asarray(ctrls, dtype=np.float64)
+        for row, i in enumerate(idxs):
+            plan = scenarios[i].plan
+            plan.coef = convert.ctrl_to_coef(ctrls[row], plan.T, param.n)
+            plan.solver_info = {"mode": "scenario-batched-device", "M": M,
+                                "rounds": rounds}
     return scenarios
 
 

@@ -193,36 +193,42 @@ def solve_trajectories(
 
 
 def _stack_qpdata(datas: list[assemble.QPData]) -> assemble.QPData:
+    """Stack batch QPs on a leading axis.  numpy leaves stay numpy (one
+    deferred device transfer for the whole stack); jnp leaves stack on
+    device."""
+    import jax
     import jax.numpy as jnp
 
+    xp = np if isinstance(datas[0].lb, np.ndarray) else jnp
     # batches may differ in agent count (last batch); pad agents by
     # repeating the first agent with free bounds and no pairs
     Bmax = max(d.lb.shape[0] for d in datas)
-    padded = [_pad_agents(d, Bmax) for d in datas]
-    import jax
-    return jax.tree.map(lambda *xs: jnp.stack(xs), *padded)
+    padded = [_pad_agents(d, Bmax, xp) for d in datas]
+    return jax.tree.map(lambda *xs: xp.stack(xs), *padded)
 
 
-def _pad_agents(d: assemble.QPData, Bmax: int) -> assemble.QPData:
+def _pad_agents(d: assemble.QPData, Bmax: int, xp=None) -> assemble.QPData:
     import dataclasses
 
     import jax.numpy as jnp
 
+    if xp is None:
+        xp = np if isinstance(d.lb, np.ndarray) else jnp
     B = d.lb.shape[0]
     if B == Bmax:
         return d
     pad = Bmax - B
 
     def padB(a):
-        return jnp.concatenate([a, jnp.repeat(a[-1:], pad, axis=0)], axis=0)
+        return xp.concatenate([a, xp.repeat(a[-1:], pad, axis=0)], axis=0)
 
     big = assemble.BIG
-    lb = jnp.concatenate([d.lb, jnp.full((pad,) + d.lb.shape[1:], -big,
-                                         d.lb.dtype)], axis=0)
-    ub = jnp.concatenate([d.ub, jnp.full((pad,) + d.ub.shape[1:], big,
-                                         d.ub.dtype)], axis=0)
+    lb = xp.concatenate([d.lb, xp.full((pad,) + d.lb.shape[1:], -big,
+                                       d.lb.dtype)], axis=0)
+    ub = xp.concatenate([d.ub, xp.full((pad,) + d.ub.shape[1:], big,
+                                       d.ub.dtype)], axis=0)
     # padded agents get a sentinel id so coupling scatters drop them
-    agents = jnp.concatenate([
-        d.agents, jnp.full((pad,), 2**30, dtype=d.agents.dtype)])
+    agents = xp.concatenate([
+        d.agents, xp.full((pad,), 2**30, dtype=d.agents.dtype)])
     return dataclasses.replace(d, deq=padB(d.deq), lb=lb, ub=ub,
                                x0=padB(d.x0), agents=agents)

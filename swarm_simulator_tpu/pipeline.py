@@ -80,8 +80,9 @@ def plan(
         if scale != 1.0:
             result.sfc = [[(box, t * scale) for box, t in agent_sfc]
                           for agent_sfc in result.sfc]
-            result.rsfc = {k: [(nv, t * scale) for nv, t in v]
-                           for k, v in result.rsfc.items()}
+            if result.rsfc:
+                result.rsfc = {k: [(nv, t * scale) for nv, t in v]
+                               for k, v in result.rsfc.items()}
         times.extra["time_scale"] = scale
         times.timescale = time.perf_counter() - t0
 

@@ -175,7 +175,6 @@ def assemble_batch(
     dt = np.diff(T)
     batch_agents = np.asarray(batch_agents)
     B = len(batch_agents)
-    local = {int(q): b for b, q in enumerate(batch_agents)}
 
     Q_base = bernstein.derivative_cost_matrix(n, phi)
     Qseg = Q_base[None, :, :] * (dt ** (1 - 2 * phi))[:, None, None]
@@ -190,32 +189,21 @@ def assemble_batch(
     lb = lb.reshape(B, D, 3).transpose(0, 2, 1).copy()  # [B, 3, D]
     ub = ub.reshape(B, D, 3).transpose(0, 2, 1).copy()
 
-    # pair rows: any pair with at least one batch member
-    rows_bi, rows_bj, rows_n, rows_rhs = [], [], [], []
-    rows_qi, rows_qj, rows_rsum = [], [], []
+    # pair rows: any pair with at least one batch member.  Fully
+    # vectorized over the O(N^2) global pair list — a per-pair python
+    # scan measured 39 s of pure host time for the 64 batches of a
+    # 256-agent problem (32640 pairs each)
     radius = mission.radius
-    for p, (qi, qj) in enumerate(np.asarray(plan.pair_idx)):
-        qi, qj = int(qi), int(qj)
-        bi = local.get(qi, -1)
-        bj = local.get(qj, -1)
-        if bi < 0 and bj < 0:
-            continue
-        npm = plan.pair_normals[p]  # [M, 3]
-        rsum = float(radius[qi] + radius[qj])
-        rhs = np.full((M, n + 1), rsum, dtype=np.float64)
-        if bj < 0:  # qj fixed: n.(dummy_j - x_i) >= rsum
-            rhs -= np.einsum("mk,mik->mi", npm, dummy[qj])
-        if bi < 0:  # qi fixed: n.(x_j - dummy_i) >= rsum
-            rhs += np.einsum("mk,mik->mi", npm, dummy[qi])
-        rows_bi.append(bi)
-        rows_bj.append(bj)
-        rows_n.append(npm)
-        rows_rhs.append(rhs.reshape(D))
-        rows_qi.append(qi)
-        rows_qj.append(qj)
-        rows_rsum.append(rsum)
-
-    P = len(rows_bi)
+    pi_all = np.asarray(plan.pair_idx).reshape(-1, 2)
+    gmap = np.full(dummy.shape[0], -1, dtype=np.int32)
+    gmap[batch_agents] = np.arange(B, dtype=np.int32)
+    if len(pi_all):
+        bi_all = gmap[pi_all[:, 0]]
+        bj_all = gmap[pi_all[:, 1]]
+        idx = np.nonzero((bi_all >= 0) | (bj_all >= 0))[0]
+    else:
+        idx = np.zeros(0, dtype=int)
+    P = len(idx)
     P_pad = pad_pairs if pad_pairs is not None else P
     pair_bi = np.full(P_pad, -1, dtype=np.int32)
     pair_bj = np.full(P_pad, -1, dtype=np.int32)
@@ -226,14 +214,30 @@ def assemble_batch(
     pair_qj = np.zeros(P_pad, dtype=np.int32)
     pair_rsum = np.zeros(P_pad, dtype=np.float64)
     if P:
-        pair_bi[:P] = rows_bi
-        pair_bj[:P] = rows_bj
-        pair_n[:P] = rows_n
-        pair_rhs[:P] = rows_rhs
+        qi_a = pi_all[idx, 0]
+        qj_a = pi_all[idx, 1]
+        bi_a = bi_all[idx]
+        bj_a = bj_all[idx]
+        npm_a = np.asarray(plan.pair_normals)[idx]  # [P, M, 3]
+        rsum_a = np.asarray(radius)[qi_a] + np.asarray(radius)[qj_a]
+        rhs_a = np.broadcast_to(rsum_a[:, None, None],
+                                (P, M, n + 1)).astype(np.float64).copy()
+        mj = bj_a < 0  # qj fixed: n.(dummy_j - x_i) >= rsum
+        if mj.any():
+            rhs_a[mj] -= np.einsum("pmk,pmik->pmi", npm_a[mj],
+                                   dummy[qj_a[mj]])
+        mi = bi_a < 0  # qi fixed: n.(x_j - dummy_i) >= rsum
+        if mi.any():
+            rhs_a[mi] += np.einsum("pmk,pmik->pmi", npm_a[mi],
+                                   dummy[qi_a[mi]])
+        pair_bi[:P] = bi_a
+        pair_bj[:P] = bj_a
+        pair_n[:P] = npm_a
+        pair_rhs[:P] = rhs_a.reshape(P, D)
         pair_mask[:P] = 1.0
-        pair_qi[:P] = rows_qi
-        pair_qj[:P] = rows_qj
-        pair_rsum[:P] = rows_rsum
+        pair_qi[:P] = qi_a
+        pair_qj[:P] = qj_a
+        pair_rsum[:P] = rsum_a
 
     x0 = dummy[batch_agents].reshape(B, D, 3).transpose(0, 2, 1).copy()
 
