@@ -108,11 +108,12 @@ def gauss_seidel_sweep(stacked: assemble.QPData, dummy: jnp.ndarray,
 
 
 @partial(jax.jit, static_argnames=("settings", "rounds", "kkt_chunk",
-                                   "iters_schedule"))
+                                   "iters_schedule", "carry_state"))
 def jacobi_sweep(stacked: assemble.QPData, dummy: jnp.ndarray,
                  settings: admm.ADMMSettings,
                  rounds: int = 1, kkt_chunk: int = 4,
-                 iters_schedule: tuple[int, ...] | None = None):
+                 iters_schedule: tuple[int, ...] | None = None,
+                 carry_state: bool = False):
     """Fully on-device Jacobi sequential-batch planning.
 
     stacked: QPData with a leading batch-group axis [L, ...] (shard it
@@ -133,6 +134,12 @@ def jacobi_sweep(stacked: assemble.QPData, dummy: jnp.ndarray,
     the 64-agent bench problem: round 0 needs <= 725, round 1 <= 275);
     a decreasing budget cuts the sweep's critical path accordingly.
 
+    carry_state (requires iters_schedule): carry the full scaled ADMM
+    state (x, z, y) across rounds instead of re-initializing the duals
+    to zero — the coupling rhs is the only thing a round changes, so the
+    previous duals sit near the updated fixed point and later rounds
+    need fewer iterations still.
+
     Returns (ctrl [N, M, n+1, 3], info of the last round).
     """
     import dataclasses
@@ -142,17 +149,19 @@ def jacobi_sweep(stacked: assemble.QPData, dummy: jnp.ndarray,
         raise ValueError(
             f"iters_schedule has {len(iters_schedule)} entries for "
             f"{rounds} rounds")
+    if carry_state and iters_schedule is None:
+        raise ValueError("carry_state requires iters_schedule")
 
     with jax.default_matmul_precision("highest"):
         prep = jax.lax.map(lambda d: admm._prepare(d, settings), stacked,
                            batch_size=kkt_chunk)
         sdatas, scals, Kinvs = prep
 
-        def round_fn(dummy, s_round):
+        def round_fn(dummy, s_round, state=None):
             datas = jax.vmap(assemble.refresh_from_dummy,
                              in_axes=(0, None))(stacked, dummy)
 
-            def one(d, sd, scal, Kinv):
+            def one(d, sd, scal, Kinv, st=None):
                 if scal is not None:  # rescale refreshed rhs + warm start
                     rhs = jnp.where(
                         d.pair_mask[:, None] > 0,
@@ -163,24 +172,35 @@ def jacobi_sweep(stacked: assemble.QPData, dummy: jnp.ndarray,
                 else:
                     sd = dataclasses.replace(sd, pair_rhs=d.pair_rhs,
                                              x0=d.x0)
-                return admm._iterate(d, sd, scal, Kinv, s_round)
+                return admm._iterate(d, sd, scal, Kinv, s_round,
+                                     init=st, return_state=carry_state)
 
-            xs, info = jax.vmap(one)(datas, sdatas, scals, Kinvs)
+            if state is None:
+                out = jax.vmap(one)(datas, sdatas, scals, Kinvs)
+            else:
+                out = jax.vmap(one)(datas, sdatas, scals, Kinvs, state)
+            if carry_state:
+                xs, info, state = out
+            else:
+                xs, info = out
+                state = None
             # xs: [L, B, 3, D] -> control points [L*B, M, npp, 3]
             L, B = xs.shape[0], xs.shape[1]
             ctrl = xs.transpose(0, 1, 3, 2).reshape(L * B, M, npp, 3)
             agents = stacked.agents.reshape(L * B)
             new_dummy = dummy.at[agents].set(
                 ctrl.astype(dummy.dtype), mode="drop")
-            return new_dummy, info
+            return new_dummy, info, state
 
         if iters_schedule is None:
             dummy, infos = jax.lax.scan(
-                lambda dm, _: round_fn(dm, settings), dummy, None,
+                lambda dm, _: round_fn(dm, settings)[:2], dummy, None,
                 length=rounds)
             info = jax.tree.map(lambda x: x[-1], infos)
         else:  # unrolled: each round gets its own iteration budget
+            state = None
             for mi in iters_schedule:
-                dummy, info = round_fn(
-                    dummy, dataclasses.replace(settings, max_iter=mi))
+                dummy, info, state = round_fn(
+                    dummy, dataclasses.replace(settings, max_iter=mi),
+                    state)
     return dummy, info

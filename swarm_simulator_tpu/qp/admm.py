@@ -294,7 +294,13 @@ def solve_single(data: QPData, s: ADMMSettings) -> tuple[jnp.ndarray, SolveInfo]
 
 
 def _iterate(orig: QPData, data: QPData, scal, op: KKTOperator,
-             s: ADMMSettings) -> tuple[jnp.ndarray, SolveInfo]:
+             s: ADMMSettings, init=None, return_state: bool = False):
+    """Run the ADMM loop.  init: optional (x, z, y) in the solver's
+    scaled space — the state returned by a previous call with
+    return_state=True.  Because the equilibration depends only on problem
+    structure (not on the coupling rhs), state carries verbatim across
+    Jacobi rounds: the duals y warm-start the fixed point of the updated
+    problem, cutting the iterations the next round needs."""
     B, K3, D = data.lb.shape
     dt = data.lb.dtype
 
@@ -323,11 +329,15 @@ def _iterate(orig: QPData, data: QPData, scal, op: KKTOperator,
                       pair=zb.pair / scal.pair_row)
 
     tmap = jax.tree.map
-    x = data.x0
     rho0 = jnp.asarray(s.rho, dt)
-    z = A_matvec(data, x, n_d)
-    z = tmap(jnp.clip, z, l, u)
-    y = tmap(jnp.zeros_like, z)
+    if init is None:
+        x = data.x0
+        z = A_matvec(data, x, n_d)
+        z = tmap(jnp.clip, z, l, u)
+        y = tmap(jnp.zeros_like, z)
+    else:
+        x, z, y = init
+        z = tmap(jnp.clip, z, l, u)  # re-project to the updated bounds
 
     eps_abs = jnp.asarray(s.eps_abs, dt)
     eps_dual_abs = jnp.asarray(
@@ -445,7 +455,10 @@ def _iterate(orig: QPData, data: QPData, scal, op: KKTOperator,
         yu = unscale_y(y, rho_s)
         xu, _accepted = _polish(orig, xu, yu, s)
     obj = 0.5 * jnp.vdot(xu, P_matvec(orig, xu))
-    return xu, SolveInfo(iters=it, r_prim=r_prim, r_dual=r_dual, obj=obj)
+    info = SolveInfo(iters=it, r_prim=r_prim, r_dual=r_dual, obj=obj)
+    if return_state:
+        return xu, info, (x, z, y)
+    return xu, info
 
 
 @partial(jax.jit, static_argnames=("settings",))

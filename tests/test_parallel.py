@@ -196,3 +196,35 @@ def test_distributed_single_process_paths():
                                atol=1e-4)
     np.testing.assert_allclose(ctrl[:, -1, -1], mission.goal[:, :3],
                                atol=1e-4)
+
+
+def test_jacobi_sweep_carry_state():
+    """Carrying the scaled ADMM state (x, z, y) across rounds converges
+    to the same sweep as re-initialized rounds at generous budgets, and
+    is rejected without a schedule."""
+    from swarm_simulator_tpu.parallel import mesh as pmesh
+    from swarm_simulator_tpu.parallel import seqbatch
+    from swarm_simulator_tpu.qp import admm, assemble
+
+    plan, mission, param = _setup(n_agents=6, M=4, batch_size=2)
+    batches, _ = seqbatch.make_batches(mission.qn, param)
+    dummy = assemble.build_dummy(plan.init_traj, param.n)
+    members = [set(int(q) for q in b) for b in batches]
+    pad = max(sum(1 for (qi, qj) in np.asarray(plan.pair_idx)
+                  if int(qi) in m or int(qj) in m) for m in members)
+    datas = [assemble.assemble_batch(plan, mission, param, b, dummy, pad)
+             for b in batches]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *datas)
+    settings = admm.ADMMSettings(max_iter=2000, eps_abs=1e-7, eps_rel=1e-7)
+
+    ctrl_a, _ = pmesh.jacobi_sweep(stacked, jnp.asarray(dummy), settings,
+                                   rounds=2, iters_schedule=(2000, 1000))
+    ctrl_b, _ = pmesh.jacobi_sweep(stacked, jnp.asarray(dummy), settings,
+                                   rounds=2, iters_schedule=(2000, 1000),
+                                   carry_state=True)
+    np.testing.assert_allclose(np.asarray(ctrl_b), np.asarray(ctrl_a),
+                               atol=1e-4)
+
+    with pytest.raises(ValueError, match="carry_state"):
+        pmesh.jacobi_sweep(stacked, jnp.asarray(dummy), settings, rounds=2,
+                           carry_state=True)
