@@ -64,16 +64,13 @@ def main():
 
     plan, mission, param = build_problem()
     N = mission.qn
-    # cg KKT in the vmapped path: same batched iteration speed as dense
-    # (1.57 vs 1.90 ms/iter measured) but near-zero preparation, while
-    # dense prep (Cholesky + triangular inverse, TPU-hostile) costs ~15 s
-    # per cycle.  Dual tolerance sized to the measured f32 floor of this
-    # problem class (see ARCHITECTURE.md).
-    # max_iter=500: iteration study (tools/iters_study.py) shows the
-    # slowest batch terminates at 725 iters on CPU f32 and the verified
-    # safety ratio is unchanged (1.028) when capped at 500 — while on TPU
-    # the f32 residual floor sits marginally above the tolerance so the
-    # vmapped while_loop otherwise burns the full budget on every lane.
+    # dense KKT: at this batch size (nx=2448, 16 groups) one Kinv matmul
+    # per iteration is the fastest mode, and the sweep hoists the prep out
+    # of the rounds.  Iteration budgets come from tools/iters_study.py:
+    # the TPU f32 residual floor sits marginally above the tolerances, so
+    # the vmapped while_loop would burn any budget it is given — output
+    # quality is enforced by the acceptance gate instead.  Dual tolerance
+    # sized to the measured f32 floor (see ARCHITECTURE.md).
     settings = admm.ADMMSettings(max_iter=500, eps_abs=2e-4, eps_rel=2e-4,
                              kkt_solver="dense", eps_dual_abs=1.5)
 
