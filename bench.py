@@ -115,7 +115,7 @@ def main():
         # flat from (500,300) down to (150,100); (250,150) keeps margin)
         # carry_state threads the scaled ADMM state (incl. duals) across
         # rounds, so round >= 1 needs only ~80 iterations (gate-verified)
-        sched = (250,) + (80,) * (rounds - 1)
+        sched = (150,) + (80,) * (rounds - 1)
         ctrl, _info = pmesh.jacobi_sweep(stacked, dm0, settings,
                                          rounds=rounds,
                                          iters_schedule=sched,
