@@ -61,7 +61,6 @@ class ADMMSettings:
     adaptive_rho: bool = False
     rho_min: float = 1e-2
     rho_max: float = 1e1
-    polish: bool = False  # exact active-set solve after ADMM (qp/polish.py)
 
 
 class Constr(NamedTuple):
@@ -450,10 +449,6 @@ def _iterate(orig: QPData, data: QPData, scal, op: KKTOperator,
 
     r_prim, r_dual, _, _ = residuals(x, z, y, rho_s)
     xu = unscale_x(x)
-    if s.polish:
-        from .polish import polish as _polish
-        yu = unscale_y(y, rho_s)
-        xu, _accepted = _polish(orig, xu, yu, s)
     obj = 0.5 * jnp.vdot(xu, P_matvec(orig, xu))
     info = SolveInfo(iters=it, r_prim=r_prim, r_dual=r_dual, obj=obj)
     if return_state:
