@@ -144,6 +144,8 @@ def jacobi_sweep(stacked: assemble.QPData, dummy: jnp.ndarray,
     """
     import dataclasses
 
+    from ..qp import nullspace
+
     N, M, npp, _ = dummy.shape
     if iters_schedule is not None and len(iters_schedule) != rounds:
         raise ValueError(
@@ -151,15 +153,45 @@ def jacobi_sweep(stacked: assemble.QPData, dummy: jnp.ndarray,
             f"{rounds} rounds")
     if carry_state and iters_schedule is None:
         raise ValueError("carry_state requires iters_schedule")
+    is_ns = isinstance(settings, nullspace.NSSettings)
 
     with jax.default_matmul_precision("highest"):
-        prep = jax.lax.map(lambda d: admm._prepare(d, settings), stacked,
-                           batch_size=kkt_chunk)
-        sdatas, scals, Kinvs = prep
+        if is_ns:
+            # knot-state solver: no equilibration; the whole NSOp
+            # (maps + KKT inverse ladder) is dummy-independent
+            ops = jax.lax.map(
+                lambda d: nullspace.prepare_ns(d, settings), stacked,
+                batch_size=kkt_chunk)
+        else:
+            prep = jax.lax.map(lambda d: admm._prepare(d, settings),
+                               stacked, batch_size=kkt_chunk)
+            sdatas, scals, Kinvs = prep
 
         def round_fn(dummy, s_round, state=None):
             datas = jax.vmap(assemble.refresh_from_dummy,
                              in_axes=(0, None))(stacked, dummy)
+
+            if is_ns:
+                def one_ns(d, op, st=None):
+                    return nullspace._iterate_ns(
+                        d, op, s_round, init=st,
+                        return_state=carry_state)
+
+                if state is None:
+                    out = jax.vmap(one_ns)(datas, ops)
+                else:
+                    out = jax.vmap(one_ns)(datas, ops, state)
+                if carry_state:
+                    xs, info, state = out
+                else:
+                    xs, info = out
+                    state = None
+                L, B = xs.shape[0], xs.shape[1]
+                ctrl = xs.transpose(0, 1, 3, 2).reshape(L * B, M, npp, 3)
+                agents = stacked.agents.reshape(L * B)
+                new_dummy = dummy.at[agents].set(
+                    ctrl.astype(dummy.dtype), mode="drop")
+                return new_dummy, info, state
 
             def one(d, sd, scal, Kinv, st=None):
                 if scal is not None:  # rescale refreshed rhs + warm start

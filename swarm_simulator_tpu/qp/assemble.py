@@ -49,6 +49,8 @@ class QPData:
     pair_qi: jnp.ndarray  # [P] int32 global id of qi
     pair_qj: jnp.ndarray  # [P] int32 global id of qj
     pair_rsum: jnp.ndarray  # [P] r_i + r_j
+    # segment durations (needed by the knot-state formulation, qp/nullspace)
+    dt: jnp.ndarray | None = None  # [M]
 
 
 def refresh_from_dummy(data: QPData, dummy: jnp.ndarray) -> QPData:
@@ -251,7 +253,7 @@ def assemble_batch(
         pair_n=f(pair_n), pair_rhs=f(pair_rhs), pair_mask=f(pair_mask),
         x0=f(x0), agents=g(batch_agents.astype(np.int32)),
         pair_qi=g(pair_qi), pair_qj=g(pair_qj),
-        pair_rsum=f(pair_rsum),
+        pair_rsum=f(pair_rsum), dt=f(dt),
     )
 
 

@@ -1,0 +1,396 @@
+"""Knot-state (equality-eliminated) ADMM — the production trajectory solver.
+
+The vanilla OSQP splitting (qp/admm.py) treats the C^phi continuity and
+endpoint equalities as penalized constraint rows (rho_eq ~ 1e3 rho).  On
+this problem class (singular jerk Hessian + stiff equality block) its
+objective convergence has an O(1/k) tail: measured on the canonical
+64-agent batch QP it is still 3.4x the true optimum after 32k float64
+iterations, while feasibility converges quickly — trajectories pass the
+safety gate but carry far more jerk than the reference's CPLEX solutions
+(solveQP, rbp_planner.hpp:111-206).
+
+This module removes the equalities *exactly* instead.  For the canonical
+n + 1 == 2*phi case (n=5, phi=3 — the only case the reference supports,
+rbp_planner.hpp:210-212) the feasible set of
+
+    Aeq x = deq      (continuity + endpoint pins, build_aeq)
+
+has a closed-form parametrization by **knot states**: the derivative
+values s_m = (p, p', .., p^(phi-1)) at each knot.  Every Bernstein control
+point is an affine function of exactly ONE knot state:
+
+    c[m, 0:phi]  = L[m] @ s[m]        (segment start)
+    c[m, phi: ]  = R[m] @ s[m+1]      (segment end)
+
+where L/R invert the endpoint-derivative maps (the same A_0/A_T rows that
+build_aeq uses, so the elimination is exact w.r.t. the same constraint
+system).  s_0 and s_M are pinned by the mission start/goal states; the
+free variables are the interior knot states w = s[1..M-1]  — 3*(M-1) per
+(agent, axis) vs 6*M control points, and continuity holds to machine
+precision BY CONSTRUCTION.
+
+Why this is the right TPU formulation:
+  * measured on the 64-agent batch QP: reaches the IPM-verified optimum
+    (0.2% objective gap at 1500 iterations, f32 == f64 to 4 digits)
+    where the vanilla splitting stalls at 3-8x the optimum;
+  * no Ruiz equilibration needed: the jerk Hessian in knot coordinates is
+    naturally f32-well-conditioned (no dt^-2phi cost rows vs unit box
+    rows, no 1e3-scaled equality block);
+  * the reduced KKT matrix is block-tridiagonal over knots with
+    [phi*3B x phi*3B] blocks (the jerk cost couples adjacent knots only;
+    box/pair terms are knot-diagonal) — 4x less HBM per dense iteration
+    today, and the banded structure is the segment-axis scaling path;
+  * rho adaptation quantizes to a precomputed ladder of KKT inverses, so
+    the compiled loop contains no inversion.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import bernstein
+from .admm import PairOp, SolveInfo, _build_coupling, _pair_op
+from .assemble import BIG, QPData
+
+
+@dataclass(frozen=True)
+class NSSettings:
+    rho: float = 0.1
+    sigma: float = 1e-6
+    alpha: float = 1.6
+    max_iter: int = 1500
+    eps_abs: float = 1e-4
+    eps_rel: float = 1e-4
+    eps_dual_abs: float | None = None
+    check_every: int = 50
+    # rho ladder (adaptive): quantized rungs of precomputed KKT inverses.
+    # rho_min = 1e-2 is deliberate (measured on the 64-agent batch QP):
+    # letting rho fall to 1e-3 trades feasibility for objective
+    # (obj 0.98x optimal but 4e-3 pair violation); clamping at 1e-2 holds
+    # violations ~8e-4 (inside the tighten margin) at obj ~1.08x optimal
+    adaptive_rho: bool = True
+    rho_min: float = 1e-2
+    rho_max: float = 1.0
+    n_rungs: int = 5
+    adapt_threshold: float = 5.0
+    # warm start: "smooth" starts at w=0 (the equality-pinned minimum-jerk
+    # trajectory -- measured far better than the reference's staircase
+    # dummy, which carries ~5e4x the optimal jerk cost); "x0" projects
+    # data.x0 onto the knot states
+    warm_start: str = "smooth"
+    # constraint tightening (meters): the optimum sits ON the separation
+    # planes, so a first-order solver's residual infeasibility would tip
+    # the strict min-distance-ratio >= 1 acceptance.  Tightening pair rhs
+    # and shrinking boxes by this margin keeps the TRUE constraints
+    # satisfied as long as the solve's violation stays below it (CPLEX
+    # needs no margin because it solves to 1e-9, rbp_planner.hpp:158)
+    tighten: float = 0.0
+
+
+class NSConstr(NamedTuple):
+    box: jnp.ndarray   # [B, 3, D]
+    pair: jnp.ndarray  # [P, D]
+
+
+class NSOp(NamedTuple):
+    """Static per-problem pieces (dummy-state independent, so Jacobi
+    sweeps hoist this out of the rounds loop)."""
+    N: jnp.ndarray        # [D, nw] knot-state -> control-point map
+    x_pin: jnp.ndarray    # [B, 3, D] contribution of the pinned endpoints
+    g: jnp.ndarray        # [B, 3, nw] linear cost term N^T Q x_pin
+    F0: jnp.ndarray       # [M, phi, phi] ctrl -> knot state (left)
+    FT: jnp.ndarray       # [M, phi, phi] ctrl -> knot state (right)
+    ladder: jnp.ndarray   # [R] rho rungs
+    Kinvs: jnp.ndarray    # [R, nw3, nw3] dense KKT inverses per rung
+
+
+def knot_maps(dt: jnp.ndarray, n: int, phi: int):
+    """(L, R, F0, FT): per-segment affine maps between the phi boundary
+    control points and the knot state (derivative orders 0..phi-1).
+
+    F0[m][j, i] = fall(n, j) dt_m^-j A0[j, i]  (rows of build_aeq),
+    L = F0^-1; likewise FT/R at the segment end.  Requires n+1 == 2*phi.
+    """
+    A0, AT = bernstein.endpoint_derivative_matrices(n)
+    dtv = jnp.asarray(dt)
+    M = dtv.shape[0]
+    fall = []
+    nn = 1.0
+    for j in range(phi):
+        fall.append(nn)
+        nn *= (n - j)
+    fall = jnp.asarray(fall, dtv.dtype)                      # [phi]
+    powers = dtv[:, None] ** (-jnp.arange(phi, dtype=dtv.dtype))  # [M, phi]
+    scale = fall[None, :] * powers                           # [M, phi]
+    A0_b = jnp.asarray(A0[:phi, :phi], dtv.dtype)
+    AT_b = jnp.asarray(AT[:phi, n + 1 - phi:], dtv.dtype)
+    F0 = scale[:, :, None] * A0_b[None]                      # [M, phi, phi]
+    FT = scale[:, :, None] * AT_b[None]
+    L = jnp.linalg.inv(F0)
+    R = jnp.linalg.inv(FT)
+    return L, R, F0, FT
+
+
+def _build_N(L: jnp.ndarray, R: jnp.ndarray, n: int, phi: int) -> jnp.ndarray:
+    """Dense map N [D, (M-1)*phi]: x = x_pin + N @ w (shared per agent/axis).
+
+    Control point (m, i<phi) belongs to knot m (interior index m-1);
+    (m, i>=phi) to knot m+1 (interior index m)."""
+    M = L.shape[0]
+    npp = n + 1
+    Mi = M - 1
+    N = jnp.zeros((M, npp, Mi, phi), L.dtype)
+    if Mi == 0:
+        return N.reshape(M * npp, 0)
+    seg = jnp.arange(1, M)
+    N = N.at[seg, :phi, seg - 1, :].set(L[1:])
+    N = N.at[seg - 1, phi:, seg - 1, :].set(R[:M - 1])
+    return N.reshape(M * npp, Mi * phi)
+
+
+def _apply_Qseg(Qseg: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """blockdiag(Qseg) @ v along the last (D) axis."""
+    M, npp, _ = Qseg.shape
+    shape = v.shape
+    vs = v.reshape(shape[:-1] + (M, npp))
+    out = jnp.einsum("mij,...mj->...mi", Qseg, vs)
+    return out.reshape(shape)
+
+
+def prepare_ns(data: QPData, s: NSSettings) -> NSOp:
+    """All dummy-independent prep: maps, linear term, KKT inverse ladder."""
+    if data.dt is None:
+        raise ValueError("QPData.dt required for the knot-state solver")
+    M, npp, _ = data.Qseg.shape
+    n = npp - 1
+    phi = data.Aeq.shape[0] // (M + 1)
+    if npp != 2 * phi:
+        raise ValueError(f"knot-state formulation needs n+1 == 2*phi "
+                         f"(got n={n}, phi={phi})")
+    D = M * npp
+    B = data.lb.shape[0]
+    B3 = 3 * B
+    dt_ = data.lb.dtype
+
+    L, R, F0, FT = knot_maps(data.dt.astype(dt_), n, phi)
+    N = _build_N(L, R, n, phi)                   # [D, nw]
+    nw = N.shape[1]
+
+    # pinned-endpoint trajectory: s interior = 0, s_0 / s_M from deq
+    s_all = jnp.zeros((B, 3, M + 1, phi), dt_)
+    s_all = s_all.at[:, :, 0, :].set(data.deq[:, :, :phi])
+    s_all = s_all.at[:, :, M, :].set(data.deq[:, :, phi:2 * phi])
+    left = jnp.einsum("mij,bkmj->bkmi", L, s_all[:, :, :M])
+    right = jnp.einsum("mij,bkmj->bkmi", R, s_all[:, :, 1:])
+    x_pin = jnp.concatenate([left, right], axis=-1).reshape(B, 3, D)
+
+    g = jnp.einsum("da,bkd->bka", N, _apply_Qseg(data.Qseg, x_pin))
+
+    # K(rho) = K0 + rho K1, both [B3*nw, B3*nw]:
+    #   K0 = I_B3 (x) (N^T Qb N + sigma I)
+    #   K1 = I_B3 (x) (N^T N)  +  knot-block-diag pair coupling sandwich
+    QbN = _apply_Qseg(data.Qseg, N.T).T          # [D, nw]
+    H = N.T @ QbN + s.sigma * jnp.eye(nw, dtype=dt_)
+    NtN = N.T @ N
+    eyeB3 = jnp.eye(B3, dtype=dt_)
+    K0 = jnp.einsum("ab,de->adbe", eyeB3, H)
+    K1 = jnp.einsum("ab,de->adbe", eyeB3, NtN)
+    # coupling sandwich: the pair normals are constant per segment, so
+    # Sigma_d N[d,a] N[d,b] C_seg(d)[i,j] contracts over (segment, point)
+    C = _build_coupling(data, s)                 # [M, B3, B3]
+    Nm = N.reshape(M, npp, nw)
+    W = jnp.einsum("mda,mdb->mab", Nm, Nm)       # [M, nw, nw]
+    K1 = K1 + jnp.einsum("mab,mij->iajb", W, C)
+    nx = B3 * nw
+    K0 = K0.reshape(nx, nx)
+    K1 = K1.reshape(nx, nx)
+
+    if s.adaptive_rho:
+        ladder = jnp.logspace(jnp.log10(s.rho_min), jnp.log10(s.rho_max),
+                              s.n_rungs).astype(dt_)
+    else:
+        ladder = jnp.asarray([s.rho], dt_)
+    Ks = K0[None] + ladder[:, None, None] * K1[None]
+    Kinvs = jnp.linalg.inv(Ks)
+    return NSOp(N=N, x_pin=x_pin, g=g, F0=F0, FT=FT, ladder=ladder,
+                Kinvs=Kinvs)
+
+
+def _x_of(op: NSOp, w: jnp.ndarray) -> jnp.ndarray:
+    """x [B, 3, D] from interior knot states w [B, 3, nw]."""
+    return op.x_pin + jnp.einsum("da,bka->bkd", op.N, w)
+
+
+def _w_from_x(op: NSOp, x: jnp.ndarray, phi: int) -> jnp.ndarray:
+    """Project a control-point trajectory onto knot states (average of the
+    left/right derivative readings; exact if x is continuity-feasible)."""
+    B, K3, D = x.shape
+    M = op.F0.shape[0]
+    npp = D // M
+    c = x.reshape(B, K3, M, npp)
+    s_right = jnp.einsum("mij,bkmj->bkmi", op.F0, c[..., :phi])   # knot m
+    s_left = jnp.einsum("mij,bkmj->bkmi", op.FT, c[..., phi:])    # knot m+1
+    s_int = 0.5 * (s_left[:, :, :M - 1] + s_right[:, :, 1:])
+    return s_int.reshape(B, K3, (M - 1) * phi)
+
+
+def _A_x(data: QPData, x: jnp.ndarray, pop: PairOp) -> NSConstr:
+    xs = jnp.einsum("pb,bkd->pkd", pop.S, x)
+    pair = jnp.einsum("pkd,pkd->pd", pop.n_d, xs)
+    return NSConstr(box=x, pair=pair)
+
+
+def _AT_x(data: QPData, y: NSConstr, pop: PairOp) -> jnp.ndarray:
+    contrib = pop.n_d * y.pair[:, None, :]
+    return y.box + jnp.einsum("pb,pkd->bkd", pop.S, contrib)
+
+
+def _bounds(data: QPData, tighten: float = 0.0) -> tuple[NSConstr, NSConstr]:
+    big = jnp.asarray(BIG, data.lb.dtype)
+    t = jnp.asarray(tighten, data.lb.dtype)
+    pair_l = jnp.where(data.pair_rhs > -BIG / 2, data.pair_rhs + t,
+                       data.pair_rhs)
+    l = NSConstr(box=data.lb + t, pair=pair_l)
+    u = NSConstr(box=data.ub - t, pair=jnp.full_like(data.pair_rhs, big))
+    return l, u
+
+
+def _iterate_ns(data: QPData, op: NSOp, s: NSSettings, init=None,
+                return_state: bool = False):
+    """ADMM loop in knot-state coordinates.  init: (w, z, y, rho_idx)
+    from a previous call (Jacobi round) via return_state=True."""
+    B, K3, D = data.lb.shape
+    dt_ = data.lb.dtype
+    M = op.F0.shape[0]
+    phi = op.F0.shape[1]
+    nw = op.N.shape[1]
+
+    pop = _pair_op(data)
+    l, u = _bounds(data, s.tighten)
+    tmap = jax.tree.map
+
+    sigma = jnp.asarray(s.sigma, dt_)
+    alpha = jnp.asarray(s.alpha, dt_)
+    eps_abs = jnp.asarray(s.eps_abs, dt_)
+    eps_dual = jnp.asarray(
+        s.eps_abs if s.eps_dual_abs is None else s.eps_dual_abs, dt_)
+    eps_rel = jnp.asarray(s.eps_rel, dt_)
+
+    if init is None:
+        if s.warm_start == "x0":
+            w = _w_from_x(op, data.x0, phi)
+        else:
+            w = jnp.zeros((B, K3, nw), dt_)
+        z = tmap(jnp.clip, _A_x(data, _x_of(op, w), pop), l, u)
+        y = tmap(jnp.zeros_like, z)
+        rho_idx = jnp.argmin(jnp.abs(jnp.log(op.ladder)
+                                     - jnp.log(jnp.asarray(s.rho, dt_))))
+    else:
+        w, z, y, rho_idx = init
+        z = tmap(jnp.clip, z, l, u)
+
+    def kinv_apply(rho_idx, rhs):
+        Kinv = op.Kinvs[rho_idx]
+        return (rhs.reshape(-1) @ Kinv.T).reshape(rhs.shape)
+
+    def admm_step(carry, _):
+        w, z, y, rho_idx = carry
+        rho_s = op.ladder[rho_idx]
+        rhs_x = tmap(lambda zz, yy: rho_s * zz - yy, z, y)
+        rhs_w = sigma * w - op.g + jnp.einsum(
+            "da,bkd->bka", op.N, _AT_x(data, rhs_x, pop))
+        w_t = kinv_apply(rho_idx, rhs_w)
+        x_t = _x_of(op, w_t)
+        ax_t = _A_x(data, x_t, pop)
+        w_new = alpha * w_t + (1 - alpha) * w
+        v = tmap(lambda a_, zz, yy: alpha * a_ + (1 - alpha) * zz
+                 + yy / rho_s, ax_t, z, y)
+        z_new = tmap(jnp.clip, v, l, u)
+        y_new = tmap(lambda vv, zz: rho_s * (vv - zz), v, z_new)
+        return (w_new, z_new, y_new, rho_idx), None
+
+    def residuals(w, z, y):
+        x = _x_of(op, w)
+        ax = _A_x(data, x, pop)
+        px = _apply_Qseg(data.Qseg, x)
+        aty = _AT_x(data, y, pop)
+        # reduced-space stationarity N^T(Qx + A^T y) (sigma prox excluded,
+        # as in OSQP's residual definition)
+        grad_w = jnp.einsum("da,bkd->bka", op.N, px + aty)
+        def tmax(t):
+            vals = [jnp.max(jnp.abs(v)) for v in t if v.size > 0]
+            return jnp.max(jnp.array(vals)) if vals else jnp.asarray(0., dt_)
+        r_prim = tmax(tmap(lambda a_, zz: a_ - zz, ax, z))
+        r_dual = jnp.max(jnp.abs(grad_w))
+        n_prim = jnp.maximum(tmax(ax), tmax(z))
+        n_dual = jnp.maximum(
+            jnp.max(jnp.abs(jnp.einsum("da,bkd->bka", op.N, px))),
+            jnp.max(jnp.abs(jnp.einsum("da,bkd->bka", op.N, aty))))
+        return r_prim, r_dual, n_prim, n_dual
+
+    def outer_body(state):
+        w, z, y, rho_idx, it, _ = state
+        (w, z, y, rho_idx), _ = jax.lax.scan(
+            admm_step, (w, z, y, rho_idx), None, length=s.check_every)
+        r_prim, r_dual, n_prim, n_dual = residuals(w, z, y)
+        done = (r_prim <= eps_abs + eps_rel * n_prim) & \
+               (r_dual <= eps_dual + eps_rel * n_dual)
+        if s.adaptive_rho:
+            tiny = jnp.asarray(1e-10, dt_)
+            rho_s = op.ladder[rho_idx]
+            ratio = jnp.sqrt(
+                (r_prim / jnp.maximum(n_prim, tiny))
+                / jnp.maximum(r_dual / jnp.maximum(n_dual, tiny), tiny))
+            cand = jnp.clip(rho_s * ratio, s.rho_min, s.rho_max)
+            change = (cand > s.adapt_threshold * rho_s) | \
+                     (cand < rho_s / s.adapt_threshold)
+            cand_idx = jnp.argmin(jnp.abs(jnp.log(op.ladder)
+                                          - jnp.log(cand)))
+            rho_idx = jnp.where(done | ~change, rho_idx, cand_idx)
+        return w, z, y, rho_idx, it + s.check_every, done
+
+    def outer_cond(state):
+        it, done = state[-2], state[-1]
+        return (it < s.max_iter) & ~done
+
+    state = (w, z, y, rho_idx, jnp.asarray(0), jnp.asarray(False))
+    w, z, y, rho_idx, it, _ = jax.lax.while_loop(
+        outer_cond, outer_body, state)
+
+    r_prim, r_dual, _, _ = residuals(w, z, y)
+    x = _x_of(op, w)
+    obj = 0.5 * jnp.vdot(x, _apply_Qseg(data.Qseg, x))
+    info = SolveInfo(iters=it, r_prim=r_prim, r_dual=r_dual, obj=obj)
+    if return_state:
+        return x, info, (w, z, y, rho_idx)
+    return x, info
+
+
+def solve_single_ns(data: QPData, s: NSSettings):
+    with jax.default_matmul_precision("highest"):
+        op = prepare_ns(data, s)
+        return _iterate_ns(data, op, s)
+
+
+@partial(jax.jit, static_argnames=("settings",))
+def solve_ns(data: QPData, settings: NSSettings = NSSettings()):
+    """Solve one batch QP in knot-state coordinates.  Returns (x, info)
+    with x [B, 3, D]; continuity/endpoint equalities hold to machine
+    precision by construction."""
+    x, info = solve_single_ns(data, settings)
+    return x
+
+
+@partial(jax.jit, static_argnames=("settings", "prep_chunk"))
+def solve_ns_batched(data: QPData, settings: NSSettings = NSSettings(),
+                     prep_chunk: int = 4):
+    """Solve a stack of batch QPs (leading axis on every leaf)."""
+    with jax.default_matmul_precision("highest"):
+        ops = jax.lax.map(lambda d: prepare_ns(d, settings), data,
+                          batch_size=prep_chunk)
+        return jax.vmap(
+            lambda d, o: _iterate_ns(d, o, settings))(data, ops)

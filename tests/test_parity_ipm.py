@@ -1,0 +1,114 @@
+"""Coefficient-level parity against the trusted f64 interior-point oracle.
+
+BASELINE.md's parity bar is "coefficient sequences within tolerance" of a
+high-accuracy solve of the same program (the reference solves each batch
+QP with CPLEX to optimality, rbp_planner.hpp:111-206).  qp/ipm.py plays
+CPLEX's role: a float64 Mehrotra barrier solver whose returned triple is
+independently KKT-verified (stationarity + feasibility + complementary
+slackness), so these tests do not rely on trusting any one solver
+implementation.
+"""
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).parent))
+
+from test_qp import _tiny_problem  # noqa: E402
+
+
+def _assemble(plan, mission, param, agents):
+    from swarm_simulator_tpu.qp import assemble
+
+    dummy = assemble.build_dummy(plan.init_traj, param.n)
+    return assemble.assemble_batch(plan, mission, param,
+                                   np.asarray(agents), dummy)
+
+
+def _forest_8agent_batch():
+    """First sequential batch of a real 8-agent forest mission — real
+    SFC boxes, real pair rows against fixed dummies."""
+    import jax
+
+    import swarm_simulator_tpu as sst
+    from swarm_simulator_tpu.corridor.times import build_corridors
+    from swarm_simulator_tpu.io.mission_json import load_mission
+    from swarm_simulator_tpu.parallel import seqbatch
+    from swarm_simulator_tpu.qp import assemble
+    from swarm_simulator_tpu.search.planner import plan_initial_trajectories
+    from swarm_simulator_tpu.world.esdf import ESDF
+    from swarm_simulator_tpu.world.forest import generate_forest
+
+    mission = load_mission(
+        "/root/reference/swarm_planner/missions/mission_8agents_12.json")
+    param = sst.Param(world_z_min=0.0, solver_dtype="float64",
+                      grid_xy_res=0.5, grid_z_res=0.5, sequential=True,
+                      batch_size=4, batch_iter=-1)
+    world = generate_forest(mission, world_min=param.world_min,
+                            world_max=param.world_max, obs_num=6,
+                            h_min=1.0, h_max=2.5, margin=0.5, seed=3)
+    esdf = ESDF(world, max_dist=param.esdf_max_dist)
+    plan = plan_initial_trajectories(esdf, mission, param)
+    build_corridors(esdf, plan, mission.radius, param)
+    batches, _ = seqbatch.make_batches(mission.qn, param)
+    dummy = assemble.build_dummy(plan.init_traj, param.n)
+    data = assemble.assemble_batch(plan, mission, param, batches[0], dummy)
+    return jax.tree.map(np.asarray, data)
+
+
+def test_ipm_matches_converged_admm_tiny():
+    """On a small strictly-determined problem the two algorithm families
+    (barrier vs operator splitting) agree to solver precision."""
+    from swarm_simulator_tpu.qp import admm, ipm
+
+    plan, mission, param = _tiny_problem(n_agents=3, M=4)
+    data = _assemble(plan, mission, param, np.arange(3))
+    res = ipm.solve_ipm(data)
+    ipm.verify_optimal(data, res, tol=1e-6)
+
+    x, info = admm.solve_qp(data, admm.ADMMSettings(
+        max_iter=4000, eps_abs=1e-7, eps_rel=1e-7, eps_dual_abs=1e-5))
+    assert np.abs(np.asarray(x) - res.x).max() < 1e-5
+
+
+def test_ipm_kkt_verified_on_real_pipeline_problem():
+    """The oracle itself must hold up on a real forest batch QP (SFC box
+    geometry, one-sided pair rows): KKT residuals independently checked."""
+    from swarm_simulator_tpu.qp import ipm
+
+    data = _forest_8agent_batch()
+    res = ipm.solve_ipm(data)
+    out = ipm.verify_optimal(data, res, tol=1e-6)
+    assert res.mu < 1e-7
+    assert out["r_ineq"] == 0.0
+
+
+def test_production_solution_near_optimal_on_real_problem():
+    """Coefficient-level parity on the real 8-agent forest batch: the
+    production knot-state solver must land on the IPM optimum.  The
+    reduced Hessian is PD (unique optimum) but extremely flat near it, so
+    the robust parity statement is: objective within 5%, equalities to
+    machine precision, constraint violation below solver tolerance, and
+    sampled trajectory positions within centimeters of the optimum."""
+    from swarm_simulator_tpu.qp import ipm, nullspace
+
+    data = _forest_8agent_batch()
+    res = ipm.solve_ipm(data)
+    ipm.verify_optimal(data, res, tol=1e-6)
+
+    x = np.asarray(nullspace.solve_ns(
+        data, nullspace.NSSettings(max_iter=3000, check_every=100,
+                                   eps_abs=1e-7, eps_rel=1e-7,
+                                   eps_dual_abs=1e-5)))
+    Q, E, d, C, c, _ = ipm.build_flat(data)
+    xf = np.asarray(x, np.float64).reshape(-1)
+    xo = res.x.reshape(-1)
+    obj = 0.5 * xf @ (Q @ xf)
+    obj_opt = 0.5 * xo @ (Q @ xo)
+    assert obj <= obj_opt * 1.05 + 1e-9, (obj, obj_opt)
+    assert np.abs(E @ xf - d).max() < 1e-9
+    assert np.maximum(c - C @ xf, 0.0).max() < 2e-3
+    # trajectory-level agreement with the optimum (meters)
+    assert np.abs(xf - xo).max() < 0.2, np.abs(xf - xo).max()
