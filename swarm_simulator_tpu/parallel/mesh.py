@@ -108,12 +108,14 @@ def gauss_seidel_sweep(stacked: assemble.QPData, dummy: jnp.ndarray,
 
 
 @partial(jax.jit, static_argnames=("settings", "rounds", "kkt_chunk",
-                                   "iters_schedule", "carry_state"))
+                                   "iters_schedule", "carry_state",
+                                   "tighten_schedule"))
 def jacobi_sweep(stacked: assemble.QPData, dummy: jnp.ndarray,
                  settings: admm.ADMMSettings,
                  rounds: int = 1, kkt_chunk: int = 4,
                  iters_schedule: tuple[int, ...] | None = None,
-                 carry_state: bool = False):
+                 carry_state: bool = False,
+                 tighten_schedule: tuple[float, ...] | None = None):
     """Fully on-device Jacobi sequential-batch planning.
 
     stacked: QPData with a leading batch-group axis [L, ...] (shard it
@@ -139,6 +141,12 @@ def jacobi_sweep(stacked: assemble.QPData, dummy: jnp.ndarray,
     to zero — the coupling rhs is the only thing a round changes, so the
     previous duals sit near the updated fixed point and later rounds
     need fewer iterations still.
+
+    tighten_schedule (knot-state solver only): per-round constraint
+    tightening margin.  Jacobi rounds enforce cross-batch pair
+    constraints against the PREVIOUS round's positions; a decreasing
+    margin absorbs the per-round movement (which contracts geometrically)
+    so intermediate rounds stay pairwise safe against the staleness.
 
     Returns (ctrl [N, M, n+1, 3], info of the last round).
     """
@@ -230,9 +238,15 @@ def jacobi_sweep(stacked: assemble.QPData, dummy: jnp.ndarray,
                 length=rounds)
             info = jax.tree.map(lambda x: x[-1], infos)
         else:  # unrolled: each round gets its own iteration budget
+            if tighten_schedule is not None and (
+                    not is_ns or len(tighten_schedule) != rounds):
+                raise ValueError("tighten_schedule needs the knot-state "
+                                 "solver and one entry per round")
             state = None
-            for mi in iters_schedule:
-                dummy, info, state = round_fn(
-                    dummy, dataclasses.replace(settings, max_iter=mi),
-                    state)
+            for r, mi in enumerate(iters_schedule):
+                s_round = dataclasses.replace(settings, max_iter=mi)
+                if tighten_schedule is not None:
+                    s_round = dataclasses.replace(
+                        s_round, tighten=tighten_schedule[r])
+                dummy, info, state = round_fn(dummy, s_round, state)
     return dummy, info

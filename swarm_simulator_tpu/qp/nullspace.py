@@ -68,20 +68,40 @@ class NSSettings:
     eps_dual_abs: float | None = None
     check_every: int = 50
     # rho ladder (adaptive): quantized rungs of precomputed KKT inverses.
-    # rho_min = 1e-2 is deliberate (measured on the 64-agent batch QP):
-    # letting rho fall to 1e-3 trades feasibility for objective
-    # (obj 0.98x optimal but 4e-3 pair violation); clamping at 1e-2 holds
-    # violations ~8e-4 (inside the tighten margin) at obj ~1.08x optimal
+    # rho is RELATIVE to the cost-normalized problem (the Hessian is
+    # rescaled to unit column norm, see prepare_ns): congested batches
+    # carry ~100x the jerk cost of sparse ones, and without normalization
+    # a single rho range cannot serve both (measured: the congested
+    # batch-3 forest QP stalls at 7e-2 pair violation while batch 0
+    # converges).  The upper rungs give feasibility-enforcing strength on
+    # tightly-active problems, the lower rungs polish the objective.
+    # Default range favors feasibility-first convergence at production
+    # budgets (the joint 64-agent forest solve passes the safety gate at
+    # 300 iters with 1e-3..1e1, fails with a 1e-5 floor — the adaptive
+    # walk dips too low too early); for deep objective polish extend the
+    # floor explicitly (rho_min=1e-5, n_rungs=9 reaches obj 1.002x the
+    # IPM optimum at 3000 iters on the 8-agent parity problem).
     adaptive_rho: bool = True
-    rho_min: float = 1e-2
-    rho_max: float = 1.0
-    n_rungs: int = 5
+    rho_min: float = 1e-3
+    rho_max: float = 1e1
+    n_rungs: int = 7
     adapt_threshold: float = 5.0
     # warm start: "smooth" starts at w=0 (the equality-pinned minimum-jerk
     # trajectory -- measured far better than the reference's staircase
     # dummy, which carries ~5e4x the optimal jerk cost); "x0" projects
     # data.x0 onto the knot states
     warm_start: str = "smooth"
+    # KKT linear-system strategy:
+    #   "dense":  materialize K(rho)^-1 per rung [B3*nw x B3*nw] — one
+    #             matmul per iteration; right for small agent batches
+    #   "banded": block-tridiagonal Thomas factorization over knots
+    #             ([phi*3B x phi*3B] blocks; the jerk cost couples
+    #             adjacent knots only, box/pair terms are knot-diagonal)
+    #             — memory O(M (phi 3B)^2) instead of O((M phi 3B)^2),
+    #             the segment-axis scaling path; right for JOINT solves
+    #             (the 64-agent joint KKT would be a 20160^2 dense
+    #             inverse = 1.6 GB per rung)
+    kkt_mode: str = "dense"
     # constraint tightening (meters): the optimum sits ON the separation
     # planes, so a first-order solver's residual infeasibility would tip
     # the strict min-distance-ratio >= 1 acceptance.  Tightening pair rhs
@@ -101,11 +121,16 @@ class NSOp(NamedTuple):
     sweeps hoist this out of the rounds loop)."""
     N: jnp.ndarray        # [D, nw] knot-state -> control-point map
     x_pin: jnp.ndarray    # [B, 3, D] contribution of the pinned endpoints
-    g: jnp.ndarray        # [B, 3, nw] linear cost term N^T Q x_pin
+    g: jnp.ndarray        # [B, 3, nw] linear cost term c_s N^T Q x_pin
     F0: jnp.ndarray       # [M, phi, phi] ctrl -> knot state (left)
     FT: jnp.ndarray       # [M, phi, phi] ctrl -> knot state (right)
+    c_s: jnp.ndarray      # scalar cost normalization (1/||H|| class)
     ladder: jnp.ndarray   # [R] rho rungs
-    Kinvs: jnp.ndarray    # [R, nw3, nw3] dense KKT inverses per rung
+    # dense mode:
+    Kinvs: jnp.ndarray | None   # [R, nw3, nw3] KKT inverses per rung
+    # banded mode (block-tridiagonal Thomas over knots):
+    Dinvs: jnp.ndarray | None   # [R, Mi, bs, bs] pivot-block inverses
+    Kos: jnp.ndarray | None     # [Mi-1, bs, bs] off-diag (rho-free)
 
 
 def knot_maps(dt: jnp.ndarray, n: int, phi: int):
@@ -188,36 +213,131 @@ def prepare_ns(data: QPData, s: NSSettings) -> NSOp:
     right = jnp.einsum("mij,bkmj->bkmi", R, s_all[:, :, 1:])
     x_pin = jnp.concatenate([left, right], axis=-1).reshape(B, 3, D)
 
-    g = jnp.einsum("da,bkd->bka", N, _apply_Qseg(data.Qseg, x_pin))
-
-    # K(rho) = K0 + rho K1, both [B3*nw, B3*nw]:
-    #   K0 = I_B3 (x) (N^T Qb N + sigma I)
-    #   K1 = I_B3 (x) (N^T N)  +  knot-block-diag pair coupling sandwich
+    # scalar cost normalization: congested batches carry orders of
+    # magnitude more jerk cost than sparse ones; dividing the Hessian by
+    # its mean column norm puts every problem's useful rho in one ladder
     QbN = _apply_Qseg(data.Qseg, N.T).T          # [D, nw]
-    H = N.T @ QbN + s.sigma * jnp.eye(nw, dtype=dt_)
-    NtN = N.T @ N
-    eyeB3 = jnp.eye(B3, dtype=dt_)
-    K0 = jnp.einsum("ab,de->adbe", eyeB3, H)
-    K1 = jnp.einsum("ab,de->adbe", eyeB3, NtN)
-    # coupling sandwich: the pair normals are constant per segment, so
-    # Sigma_d N[d,a] N[d,b] C_seg(d)[i,j] contracts over (segment, point)
-    C = _build_coupling(data, s)                 # [M, B3, B3]
-    Nm = N.reshape(M, npp, nw)
-    W = jnp.einsum("mda,mdb->mab", Nm, Nm)       # [M, nw, nw]
-    K1 = K1 + jnp.einsum("mab,mij->iajb", W, C)
-    nx = B3 * nw
-    K0 = K0.reshape(nx, nx)
-    K1 = K1.reshape(nx, nx)
+    H_raw = N.T @ QbN
+    c_s = 1.0 / jnp.clip(jnp.mean(jnp.max(jnp.abs(H_raw), axis=0)),
+                         1e-12, None)
+    g = c_s * jnp.einsum("da,bkd->bka", N, _apply_Qseg(data.Qseg, x_pin))
 
     if s.adaptive_rho:
         ladder = jnp.logspace(jnp.log10(s.rho_min), jnp.log10(s.rho_max),
                               s.n_rungs).astype(dt_)
     else:
         ladder = jnp.asarray([s.rho], dt_)
+    C = _build_coupling(data, s)                 # [M, B3, B3]
+    Mi = M - 1
+    eyeB3 = jnp.eye(B3, dtype=dt_)
+
+    if s.kkt_mode == "banded":
+        # block-tridiagonal blocks over interior knots, row index
+        # (agent*3+axis)*phi + comp:
+        #   Kd[k] = I_B3 (x) (c_s Hd_k + sigma I + rho NtN_k)
+        #           + rho (C_k (x) WL_k + C_{k-1} (x) WR_{k-1})
+        #   Ko[k] = I_B3 (x) (c_s Ho_k)              (rho-independent)
+        Qs = data.Qseg
+        WL = jnp.einsum("mia,mib->mab", L, L)            # [M, phi, phi]
+        WR = jnp.einsum("mia,mib->mab", R, R)
+        Q00 = jnp.einsum("mia,mij,mjb->mab", L, Qs[:, :phi, :phi], L)
+        Q11 = jnp.einsum("mia,mij,mjb->mab", R, Qs[:, phi:, phi:], R)
+        Q01 = jnp.einsum("mia,mij,mjb->mab", L, Qs[:, :phi, phi:], R)
+        Hd = c_s * (Q00[1:M] + Q11[0:M - 1])             # [Mi, phi, phi]
+        NtN_k = WL[1:M] + WR[0:M - 1]
+        Ho = c_s * Q01[1:M - 1]                          # [Mi-1, phi, phi]
+
+        def kron_b(Cb, Wb):  # [.., B3, B3] x [.., phi, phi] -> [.., bs, bs]
+            out = jnp.einsum("...ij,...ab->...iajb", Cb, Wb)
+            bs = B3 * phi
+            return out.reshape(out.shape[:-4] + (bs, bs))
+
+        sigI = s.sigma * jnp.eye(phi, dtype=dt_)
+        base_d = kron_b(eyeB3[None].repeat(Mi, 0), Hd + sigI)
+        rho_d = kron_b(eyeB3[None].repeat(Mi, 0), NtN_k) \
+            + kron_b(C[1:M], WL[1:M]) + kron_b(C[0:M - 1], WR[0:M - 1])
+        Kos = kron_b(eyeB3[None].repeat(Mi - 1, 0), Ho)
+
+        def factor(rho):
+            Kd = base_d + rho * rho_d
+
+            def step(Dinv_prev, inp):
+                Kd_k, Ko_prev = inp
+                S_ = Kd_k - Ko_prev.T @ (Dinv_prev @ Ko_prev)
+                Dinv_k = jnp.linalg.inv(S_)
+                return Dinv_k, Dinv_k
+
+            Dinv0 = jnp.linalg.inv(Kd[0])
+            _, Ds = jax.lax.scan(step, Dinv0, (Kd[1:], Kos))
+            return jnp.concatenate([Dinv0[None], Ds], axis=0)
+
+        Dinvs = jax.vmap(factor)(ladder)         # [R, Mi, bs, bs]
+        return NSOp(N=N, x_pin=x_pin, g=g, F0=F0, FT=FT, c_s=c_s,
+                    ladder=ladder, Kinvs=None, Dinvs=Dinvs, Kos=Kos)
+
+    # dense mode: K(rho) = K0 + rho K1, both [B3*nw, B3*nw]:
+    #   K0 = I_B3 (x) (c_s N^T Qb N + sigma I)
+    #   K1 = I_B3 (x) (N^T N)  +  knot-block-diag pair coupling sandwich
+    H = c_s * H_raw + s.sigma * jnp.eye(nw, dtype=dt_)
+    NtN = N.T @ N
+    K0 = jnp.einsum("ab,de->adbe", eyeB3, H)
+    K1 = jnp.einsum("ab,de->adbe", eyeB3, NtN)
+    # coupling sandwich: the pair normals are constant per segment, so
+    # Sigma_d N[d,a] N[d,b] C_seg(d)[i,j] contracts over (segment, point)
+    Nm = N.reshape(M, npp, nw)
+    W = jnp.einsum("mda,mdb->mab", Nm, Nm)       # [M, nw, nw]
+    K1 = K1 + jnp.einsum("mab,mij->iajb", W, C)
+    nx = B3 * nw
+    K0 = K0.reshape(nx, nx)
+    K1 = K1.reshape(nx, nx)
     Ks = K0[None] + ladder[:, None, None] * K1[None]
     Kinvs = jnp.linalg.inv(Ks)
-    return NSOp(N=N, x_pin=x_pin, g=g, F0=F0, FT=FT, ladder=ladder,
-                Kinvs=Kinvs)
+    return NSOp(N=N, x_pin=x_pin, g=g, F0=F0, FT=FT, c_s=c_s,
+                ladder=ladder, Kinvs=Kinvs, Dinvs=None, Kos=None)
+
+
+def make_kinv_apply(op: NSOp, B: int, K3: int, M: int, phi: int):
+    """KKT-system solver `(rho_idx, rhs [B, K3, nw]) -> [B, K3, nw]` for
+    whichever mode the op was prepared in (dense inverse matmul, or
+    block-tridiagonal Thomas over knots)."""
+    if op.Kinvs is not None:
+        def kinv_apply(rho_idx, rhs):
+            Kinv = op.Kinvs[rho_idx]
+            return (rhs.reshape(-1) @ Kinv.T).reshape(rhs.shape)
+        return kinv_apply
+
+    Mi = M - 1
+    bs = B * K3 * phi
+
+    def kinv_apply(rho_idx, rhs):
+        # block-tridiagonal Thomas solve over knots; block vector at
+        # knot k holds all (agent, axis, comp) entries
+        Dinv = op.Dinvs[rho_idx]                    # [Mi, bs, bs]
+        Ko = op.Kos                                 # [Mi-1, bs, bs]
+        b = rhs.reshape(B, K3, Mi, phi).transpose(2, 0, 1, 3)
+        b = b.reshape(Mi, bs)
+
+        def fwd(y_prev, inp):
+            b_k, Ko_prev, Dinv_prev = inp
+            y_k = b_k - Ko_prev.T @ (Dinv_prev @ y_prev)
+            return y_k, y_k
+
+        _, ys = jax.lax.scan(fwd, b[0], (b[1:], Ko, Dinv[:-1]))
+        y = jnp.concatenate([b[:1], ys], axis=0)
+        x_last = Dinv[-1] @ y[-1]
+
+        def bwd(x_next, inp):
+            y_k, Ko_k, Dinv_k = inp
+            x_k = Dinv_k @ (y_k - Ko_k @ x_next)
+            return x_k, x_k
+
+        _, xs = jax.lax.scan(bwd, x_last, (y[:-1], Ko, Dinv[:-1]),
+                             reverse=True)
+        x = jnp.concatenate([xs, x_last[None]], axis=0)  # [Mi, bs]
+        x = x.reshape(Mi, B, K3, phi).transpose(1, 2, 0, 3)
+        return x.reshape(rhs.shape)
+
+    return kinv_apply
 
 
 def _x_of(op: NSOp, w: jnp.ndarray) -> jnp.ndarray:
@@ -293,9 +413,7 @@ def _iterate_ns(data: QPData, op: NSOp, s: NSSettings, init=None,
         w, z, y, rho_idx = init
         z = tmap(jnp.clip, z, l, u)
 
-    def kinv_apply(rho_idx, rhs):
-        Kinv = op.Kinvs[rho_idx]
-        return (rhs.reshape(-1) @ Kinv.T).reshape(rhs.shape)
+    kinv_apply = make_kinv_apply(op, B, K3, M, phi)
 
     def admm_step(carry, _):
         w, z, y, rho_idx = carry
@@ -316,10 +434,12 @@ def _iterate_ns(data: QPData, op: NSOp, s: NSSettings, init=None,
     def residuals(w, z, y):
         x = _x_of(op, w)
         ax = _A_x(data, x, pop)
+        # duals y live in the cost-normalized problem (c_s Qx + A^T y = 0);
+        # termination must be judged in ORIGINAL units or eps_dual is
+        # effectively loosened by 1/c_s: raw duals are y / c_s, so the raw
+        # stationarity gradient is (c_s Qx + A^T y) / c_s
         px = _apply_Qseg(data.Qseg, x)
-        aty = _AT_x(data, y, pop)
-        # reduced-space stationarity N^T(Qx + A^T y) (sigma prox excluded,
-        # as in OSQP's residual definition)
+        aty = _AT_x(data, y, pop) / op.c_s
         grad_w = jnp.einsum("da,bkd->bka", op.N, px + aty)
         def tmax(t):
             vals = [jnp.max(jnp.abs(v)) for v in t if v.size > 0]

@@ -79,3 +79,49 @@ def test_solve_ns_respects_tightening():
     # problem stays below the margin)
     assert np.maximum(c - C @ xf, 0.0).max() < t
     assert np.abs(E @ xf - d).max() < 1e-9
+
+
+def test_banded_kinv_matches_dense():
+    """The block-tridiagonal Thomas mode must solve the SAME KKT system as
+    the dense-inverse mode: pair/box terms are exactly knot-diagonal and
+    only the jerk cost couples adjacent knots, so the two factorizations
+    agree to solver precision on every rho rung."""
+    import dataclasses
+
+    from swarm_simulator_tpu.qp import nullspace
+
+    data, param = _data(n_agents=3, M=6, nonuniform=True)
+    s_dense = nullspace.NSSettings()
+    s_band = dataclasses.replace(s_dense, kkt_mode="banded")
+    op_d = nullspace.prepare_ns(data, s_dense)
+    op_b = nullspace.prepare_ns(data, s_band)
+
+    B, K3, D = np.asarray(data.lb).shape
+    M = np.asarray(data.Qseg).shape[0]
+    phi = np.asarray(data.Aeq).shape[0] // (M + 1)
+    ap_d = nullspace.make_kinv_apply(op_d, B, K3, M, phi)
+    ap_b = nullspace.make_kinv_apply(op_b, B, K3, M, phi)
+
+    rng = np.random.default_rng(0)
+    rhs = rng.normal(size=(B, K3, op_d.N.shape[1]))
+    for r in range(int(np.asarray(op_d.ladder).shape[0])):
+        xd = np.asarray(ap_d(r, rhs))
+        xb = np.asarray(ap_b(r, rhs))
+        scale = max(1.0, np.abs(xd).max())
+        assert np.abs(xd - xb).max() < 1e-8 * scale, (r, np.abs(xd - xb).max())
+
+
+def test_banded_solve_matches_dense_solution():
+    """End-to-end: the banded production path lands on the same solution
+    as the dense path (same settings, same problem)."""
+    import dataclasses
+
+    from swarm_simulator_tpu.qp import nullspace
+
+    data, _ = _data(n_agents=3, M=5)
+    s = nullspace.NSSettings(max_iter=2000, check_every=100,
+                             eps_abs=1e-8, eps_rel=1e-8, eps_dual_abs=1e-6)
+    xd = np.asarray(nullspace.solve_ns(data, s))
+    xb = np.asarray(nullspace.solve_ns(
+        data, dataclasses.replace(s, kkt_mode="banded")))
+    assert np.abs(xd - xb).max() < 1e-5, np.abs(xd - xb).max()
