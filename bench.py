@@ -105,7 +105,21 @@ def ns_settings():
     return nullspace.NSSettings(max_iter=MAX_ITER, check_every=CHECK_EVERY,
                                 eps_abs=2e-4, eps_rel=2e-4,
                                 eps_dual_abs=5e-3, tighten=2e-3,
-                                warm_start="x0", kkt_mode="banded")
+                                warm_start="x0", kkt_mode="banded",
+                                rho_min=1e-5, n_rungs=9)
+
+
+def ns_phases():
+    """Production phased rho schedule (see nullspace.solve_ns_phases):
+    feasibility-first -> deep objective polish -> feasibility restore.
+    Measured on the 64-agent forest: gate passes with batch-0 jerk AT the
+    IPM best-response optimum (0.232 vs 0.244 single-walk 0.401)."""
+    import dataclasses
+
+    base = ns_settings()
+    return (dataclasses.replace(base, max_iter=400, rho_lo=1e-3),
+            dataclasses.replace(base, max_iter=600),
+            dataclasses.replace(base, max_iter=200, rho_lo=1e-2))
 
 
 def gate_quality(ctrl, plan, mission, param, obj_ref=None, obj_b0=None,
@@ -221,13 +235,13 @@ def main():
 
     from swarm_simulator_tpu.qp import nullspace
 
-    settings = ns_settings()
+    phases = ns_phases()
 
     @jax.jit
     def joint_solve(data, jit_val):
         import dataclasses
         d = dataclasses.replace(data, x0=data.x0 + jit_val)
-        x, info = nullspace.solve_single_ns(d, settings)
+        x, info = nullspace.solve_ns_phases(d, phases)
         return x, info
 
     def run_cycle(data_dev, M, npp, jit_val=0.0):

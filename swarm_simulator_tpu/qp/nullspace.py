@@ -86,6 +86,16 @@ class NSSettings:
     rho_max: float = 1e1
     n_rungs: int = 7
     adapt_threshold: float = 5.0
+    # clamp the adaptive walk to a sub-range of the ladder WITHOUT
+    # re-preparing the op (rho_min/rho_max/n_rungs define the precomputed
+    # rung inventory; rho_lo/rho_hi fence which rungs a phase may visit).
+    # Phased schedules (solve_ns_schedule) use this: feasibility-first at
+    # high rho, deep objective polish unfenced, short feasibility-restore
+    # fenced high again — the measured cure for the joint forest solve
+    # where a single adaptive walk either stalls at 1.6x the optimal jerk
+    # (fenced ladder) or ends 3.6e-3 outside the boxes (deep ladder).
+    rho_lo: float | None = None
+    rho_hi: float | None = None
     # warm start: "smooth" starts at w=0 (the equality-pinned minimum-jerk
     # trajectory -- measured far better than the reference's staircase
     # dummy, which carries ~5e4x the optimal jerk cost); "x0" projects
@@ -400,6 +410,13 @@ def _iterate_ns(data: QPData, op: NSOp, s: NSSettings, init=None,
         s.eps_abs if s.eps_dual_abs is None else s.eps_dual_abs, dt_)
     eps_rel = jnp.asarray(s.eps_rel, dt_)
 
+    # rho-rung fence (see NSSettings.rho_lo/rho_hi)
+    lad_log = jnp.log(op.ladder)
+    idx_lo = (jnp.argmin(jnp.abs(lad_log - jnp.log(s.rho_lo)))
+              if s.rho_lo is not None else 0)
+    idx_hi = (jnp.argmin(jnp.abs(lad_log - jnp.log(s.rho_hi)))
+              if s.rho_hi is not None else op.ladder.shape[0] - 1)
+
     if init is None:
         if s.warm_start == "x0":
             w = _w_from_x(op, data.x0, phi)
@@ -407,11 +424,12 @@ def _iterate_ns(data: QPData, op: NSOp, s: NSSettings, init=None,
             w = jnp.zeros((B, K3, nw), dt_)
         z = tmap(jnp.clip, _A_x(data, _x_of(op, w), pop), l, u)
         y = tmap(jnp.zeros_like, z)
-        rho_idx = jnp.argmin(jnp.abs(jnp.log(op.ladder)
+        rho_idx = jnp.argmin(jnp.abs(lad_log
                                      - jnp.log(jnp.asarray(s.rho, dt_))))
     else:
         w, z, y, rho_idx = init
         z = tmap(jnp.clip, z, l, u)
+    rho_idx = jnp.clip(rho_idx, idx_lo, idx_hi)
 
     kinv_apply = make_kinv_apply(op, B, K3, M, phi)
 
@@ -468,8 +486,9 @@ def _iterate_ns(data: QPData, op: NSOp, s: NSSettings, init=None,
             cand = jnp.clip(rho_s * ratio, s.rho_min, s.rho_max)
             change = (cand > s.adapt_threshold * rho_s) | \
                      (cand < rho_s / s.adapt_threshold)
-            cand_idx = jnp.argmin(jnp.abs(jnp.log(op.ladder)
-                                          - jnp.log(cand)))
+            cand_idx = jnp.clip(
+                jnp.argmin(jnp.abs(lad_log - jnp.log(cand))),
+                idx_lo, idx_hi)
             rho_idx = jnp.where(done | ~change, rho_idx, cand_idx)
         return w, z, y, rho_idx, it + s.check_every, done
 
@@ -494,6 +513,30 @@ def solve_single_ns(data: QPData, s: NSSettings):
     with jax.default_matmul_precision("highest"):
         op = prepare_ns(data, s)
         return _iterate_ns(data, op, s)
+
+
+def solve_ns_phases(data: QPData, phases: tuple[NSSettings, ...],
+                    return_state: bool = False):
+    """Phased rho schedule sharing ONE prepared op (the KKT rung
+    inventory comes from phases[0]; later phases fence the adaptive walk
+    via rho_lo/rho_hi and carry the full ADMM state across phases).
+
+    The production joint-solve recipe (measured on the 64-agent forest):
+      1. feasibility-first  (rho_lo fences out the low rungs)
+      2. objective polish   (unfenced — the deep rungs do the work)
+      3. feasibility restore (fenced high again; starts near-optimal so
+         the boxes pull in with little objective damage)
+    """
+    with jax.default_matmul_precision("highest"):
+        op = prepare_ns(data, phases[0])
+        state = None
+        x = info = None
+        for s in phases:
+            x, info, state = _iterate_ns(data, op, s, init=state,
+                                         return_state=True)
+    if return_state:
+        return x, info, state
+    return x, info
 
 
 @partial(jax.jit, static_argnames=("settings",))
