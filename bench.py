@@ -190,7 +190,10 @@ def ipm_best_response_batch0(plan, mission, param, final_ctrl):
     """f64 IPM optimum of batch 0's best-response QP: agents 0..3 free,
     everyone else fixed at OUR final trajectories (the pair rhs refreshed
     from them).  The per-solve quality yardstick and the CPLEX-class
-    timing baseline.  Returns (objective, seconds/solve)."""
+    timing baseline.  Uses the reduced (equality-eliminated) barrier —
+    the FASTEST honest f64 denominator we can produce (a slow stand-in
+    would inflate vs_baseline); its optimum is still verified by the
+    full-space KKT residual check.  Returns (objective, seconds/solve)."""
     import jax
 
     from swarm_simulator_tpu.parallel import seqbatch
@@ -206,7 +209,7 @@ def ipm_best_response_batch0(plan, mission, param, final_ctrl):
             if np.asarray(x).dtype in (np.float32, np.float64)
             else np.asarray(x), data0)
     t0 = time.perf_counter()
-    res = ipm.solve_ipm(data0)
+    res = ipm.solve_ipm_reduced(data0)
     dt = time.perf_counter() - t0
     ipm.verify_optimal(data0, res, tol=1e-5)
     Q, E, d_, C, c_, _ = ipm.build_flat(data0)

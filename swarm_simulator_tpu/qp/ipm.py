@@ -250,6 +250,175 @@ def solve_ipm(data: QPData, tol: float = 1e-9, max_iter: int = 60,
                      mu=mu, r_dual=r_d, r_eq=r_p, r_ineq=r_c)
 
 
+def _knot_maps_np(dt: np.ndarray, n: int, phi: int):
+    """numpy f64 twin of nullspace.knot_maps (kept independent of JAX and
+    of the x64 flag so the barrier stand-in is float64 regardless of the
+    session config)."""
+    from ..core import bernstein
+
+    A0, AT = bernstein.endpoint_derivative_matrices(n)
+    dt = np.asarray(dt, np.float64)
+    M = dt.shape[0]
+    fall = []
+    nn = 1.0
+    for j in range(phi):
+        fall.append(nn)
+        nn *= (n - j)
+    fall = np.asarray(fall)
+    scale = fall[None, :] * dt[:, None] ** (-np.arange(phi))
+    F0 = scale[:, :, None] * np.asarray(A0[:phi, :phi], np.float64)[None]
+    FT = scale[:, :, None] * np.asarray(AT[:phi, n + 1 - phi:],
+                                        np.float64)[None]
+    L = np.linalg.inv(F0)
+    R = np.linalg.inv(FT)
+    return L, R, F0, FT
+
+
+def _reduced_problem(data: QPData):
+    """Eliminate the equalities exactly (knot-state parametrization
+    x = x_pin + N w, the same closed form qp/nullspace.py uses, rebuilt
+    here in numpy f64): returns (H, g, Cw csr, cw, Nfull csr, x_pin_flat,
+    const) with the reduced program  min 1/2 w'Hw + g'w  s.t. Cw w >= cw.
+    """
+    Qseg, Aeq, deq, lb, ub, pair_n, pair_rhs, mask, bi, bj, x0 = \
+        _dense_blocks(data)
+    B, K3, D = lb.shape
+    M, npp, _ = Qseg.shape
+    phi = Aeq.shape[0] // (M + 1)
+    if npp != 2 * phi:
+        raise ValueError("reduced IPM needs n+1 == 2*phi")
+    dt = np.asarray(data.dt, np.float64)
+    L, R, F0, FT = _knot_maps_np(dt, npp - 1, phi)
+    Mi = M - 1
+    nw = Mi * phi
+
+    # N (per agent/axis): control point (m, i<phi) <- knot m; (m, i>=phi)
+    # <- knot m+1 (interior knots only)
+    N = np.zeros((M, npp, Mi, phi))
+    if Mi:
+        for m in range(1, M):
+            N[m, :phi, m - 1, :] = L[m]
+            N[m - 1, phi:, m - 1, :] = R[m - 1]
+    N = N.reshape(D, nw)
+
+    # pinned-endpoint particular solution from deq
+    s_all = np.zeros((B, K3, M + 1, phi))
+    s_all[:, :, 0, :] = deq[:, :, :phi]
+    s_all[:, :, M, :] = deq[:, :, phi:2 * phi]
+    left = np.einsum("mij,bkmj->bkmi", L, s_all[:, :, :M])
+    right = np.einsum("mij,bkmj->bkmi", R, s_all[:, :, 1:])
+    x_pin = np.concatenate([left, right], axis=-1).reshape(B, K3, D)
+
+    Q, E, d, C, c, x0f = build_flat(data)
+    Nfull = sp.kron(sp.eye(B * K3), sp.csr_matrix(N), format="csr")
+    x_pin_f = x_pin.reshape(-1)
+
+    Qbase = Q[:D, :D]
+    H_a = N.T @ (Qbase @ N)
+    H = np.asarray(sla.block_diag(*([H_a] * (B * K3))))
+    g = (Nfull.T @ (Q @ x_pin_f))
+    Cw = (C @ Nfull).tocsr()
+    cw = c - C @ x_pin_f
+    const = 0.5 * x_pin_f @ (Q @ x_pin_f)
+    return H, g, Cw, cw, Nfull, x_pin_f, const
+
+
+def solve_ipm_reduced(data: QPData, tol: float = 1e-9, max_iter: int = 60,
+                      verbose: bool = False) -> IPMResult:
+    """Mehrotra predictor-corrector on the equality-eliminated program —
+    the same barrier algorithm as solve_ipm, minus the per-iteration
+    equality Schur complement (the knot-state elimination is exact, see
+    qp/nullspace.py).  ~30-60x faster at batch scale; the returned triple
+    is still verified in the ORIGINAL full space (verify_optimal works
+    unchanged: equality duals are recovered by least squares at the end).
+    """
+    H, g, Cw, cw, Nfull, x_pin_f, const = _reduced_problem(data)
+    nwt = H.shape[0]
+    mi = Cw.shape[0]
+    CwT = sp.csr_matrix(Cw.T)
+
+    w = np.zeros(nwt)
+    s = np.maximum(Cw @ w - cw, 1.0)
+    lam = np.ones(mi)
+    scale = max(1.0, np.abs(H).max(),
+                np.abs(cw[np.abs(cw) < BIG / 2]).max())
+
+    it = 0
+    mu = float(s @ lam / mi)
+    for it in range(1, max_iter + 1):
+        r_d = H @ w + g - CwT @ lam
+        r_c = Cw @ w - s - cw
+        conv = (np.abs(r_d).max() < tol * scale
+                and np.abs(r_c).max() < tol * scale and mu < tol * scale)
+        if conv:
+            break
+
+        W = lam / s
+        Hn = H + (CwT.multiply(W) @ Cw).toarray()
+        delta = 1e-11 * scale
+        while True:
+            try:
+                cho = sla.cho_factor(Hn + delta * np.eye(nwt), lower=True,
+                                     check_finite=False)
+                break
+            except np.linalg.LinAlgError:
+                delta *= 100.0
+                if delta > 1e3 * scale:
+                    raise
+
+        def newton(rd, rc, rsl):
+            g1 = -rd + CwT @ (W * (-rc) + rsl / s)
+            dw = sla.cho_solve(cho, g1, check_finite=False)
+            dlam = rsl / s - W * (Cw @ dw + rc)
+            ds = (rsl - s * dlam) / lam
+            return dw, dlam, ds
+
+        rsl_aff = -lam * s
+        dw_a, dlam_a, ds_a = newton(r_d, r_c, rsl_aff)
+
+        def max_step(v, dv):
+            m = dv < 0
+            return 1.0 if not m.any() else min(1.0, (-v[m] / dv[m]).min())
+
+        a_p = max_step(s, ds_a)
+        a_d = max_step(lam, dlam_a)
+        mu_aff = float((s + a_p * ds_a) @ (lam + a_d * dlam_a) / mi)
+        sigma = (mu_aff / mu) ** 3 if mu > 0 else 0.0
+
+        rsl = -lam * s - ds_a * dlam_a + sigma * mu
+        dw, dlam, ds = newton(r_d, r_c, rsl)
+
+        eta = 0.995 if mu > 1e-8 * scale else 0.9999
+        a_p = eta * max_step(s, ds)
+        a_d = eta * max_step(lam, dlam)
+        w += a_p * dw
+        s += a_p * ds
+        lam += a_d * dlam
+        mu = float(s @ lam / mi)
+        if verbose:
+            print(f"  ipm-r it={it} mu={mu:.2e} "
+                  f"rd={np.abs(r_d).max():.2e}")
+
+    # back to full space + recover equality multipliers:
+    #   E' y = Q x - C' lam  (least squares via the normal equations;
+    #   E has full row rank)
+    x = x_pin_f + Nfull @ w
+    Q, E, d, C, c, _ = build_flat(data)
+    rhs = Q @ x - C.T @ lam
+    EET = (E @ E.T).toarray()
+    y = sla.cho_solve(sla.cho_factor(EET, lower=True, check_finite=False),
+                      E @ rhs, check_finite=False)
+
+    B, K3, D = np.asarray(data.lb).shape
+    r_d = float(np.abs(Q @ x - E.T @ y - C.T @ lam).max())
+    r_p = float(np.abs(E @ x - d).max()) if d.size else 0.0
+    r_c = float(np.maximum(c - C @ x, 0.0).max())
+    # slacks in full space for verify_optimal's complementarity check
+    s_full = C @ x - c
+    return IPMResult(x=x.reshape(B, K3, D), y=y, lam=lam, s=s_full,
+                     iters=it, mu=mu, r_dual=r_d, r_eq=r_p, r_ineq=r_c)
+
+
 def verify_optimal(data: QPData, res: IPMResult, tol: float = 1e-6) -> dict:
     """Re-check the returned triple against the KKT conditions (built
     independently of the solve loop's internal state).  Returns the

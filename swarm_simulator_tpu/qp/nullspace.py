@@ -268,16 +268,25 @@ def prepare_ns(data: QPData, s: NSSettings) -> NSOp:
             + kron_b(C[1:M], WL[1:M]) + kron_b(C[0:M - 1], WR[0:M - 1])
         Kos = kron_b(eyeB3[None].repeat(Mi - 1, 0), Ho)
 
+        def inv_refined(S_):
+            # one Newton step X <- X (2I - S X) on the f32 inverse: the
+            # rung condition number reaches ~1/rho_min and a raw f32
+            # inverse loses ~cond*eps relative accuracy per apply, which
+            # measurably degrades the low-rho polish phase on TPU
+            X = jnp.linalg.inv(S_)
+            I2 = 2.0 * jnp.eye(S_.shape[-1], dtype=S_.dtype)
+            return X @ (I2 - S_ @ X)
+
         def factor(rho):
             Kd = base_d + rho * rho_d
 
             def step(Dinv_prev, inp):
                 Kd_k, Ko_prev = inp
                 S_ = Kd_k - Ko_prev.T @ (Dinv_prev @ Ko_prev)
-                Dinv_k = jnp.linalg.inv(S_)
+                Dinv_k = inv_refined(S_)
                 return Dinv_k, Dinv_k
 
-            Dinv0 = jnp.linalg.inv(Kd[0])
+            Dinv0 = inv_refined(Kd[0])
             _, Ds = jax.lax.scan(step, Dinv0, (Kd[1:], Kos))
             return jnp.concatenate([Dinv0[None], Ds], axis=0)
 
@@ -302,6 +311,10 @@ def prepare_ns(data: QPData, s: NSSettings) -> NSOp:
     K1 = K1.reshape(nx, nx)
     Ks = K0[None] + ladder[:, None, None] * K1[None]
     Kinvs = jnp.linalg.inv(Ks)
+    # one Newton refinement step (see banded inv_refined)
+    I2 = 2.0 * jnp.eye(nx, dtype=dt_)
+    Kinvs = jnp.einsum("rab,rbc->rac", Kinvs, I2[None] - jnp.einsum(
+        "rab,rbc->rac", Ks, Kinvs))
     return NSOp(N=N, x_pin=x_pin, g=g, F0=F0, FT=FT, c_s=c_s,
                 ladder=ladder, Kinvs=Kinvs, Dinvs=None, Kos=None)
 

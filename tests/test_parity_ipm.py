@@ -27,9 +27,15 @@ def _assemble(plan, mission, param, agents):
                                    np.asarray(agents), dummy)
 
 
+_CACHE: dict = {}
+
+
 def _forest_8agent_batch():
     """First sequential batch of a real 8-agent forest mission — real
-    SFC boxes, real pair rows against fixed dummies."""
+    SFC boxes, real pair rows against fixed dummies.  Cached: three
+    tests share the fixture and its IPM oracle solve (~60 s each)."""
+    if "data" in _CACHE:
+        return _CACHE["data"]
     import jax
 
     import swarm_simulator_tpu as sst
@@ -55,7 +61,19 @@ def _forest_8agent_batch():
     batches, _ = seqbatch.make_batches(mission.qn, param)
     dummy = assemble.build_dummy(plan.init_traj, param.n)
     data = assemble.assemble_batch(plan, mission, param, batches[0], dummy)
-    return jax.tree.map(np.asarray, data)
+    _CACHE["data"] = jax.tree.map(np.asarray, data)
+    return _CACHE["data"]
+
+
+def _oracle(data):
+    """KKT-verified IPM solve of the shared fixture (cached)."""
+    from swarm_simulator_tpu.qp import ipm
+
+    if "oracle" not in _CACHE:
+        res = ipm.solve_ipm(data)
+        ipm.verify_optimal(data, res, tol=1e-6)
+        _CACHE["oracle"] = res
+    return _CACHE["oracle"]
 
 
 def test_ipm_matches_converged_admm_tiny():
@@ -79,7 +97,7 @@ def test_ipm_kkt_verified_on_real_pipeline_problem():
     from swarm_simulator_tpu.qp import ipm
 
     data = _forest_8agent_batch()
-    res = ipm.solve_ipm(data)
+    res = _oracle(data)
     out = ipm.verify_optimal(data, res, tol=1e-6)
     assert res.mu < 1e-7
     assert out["r_ineq"] == 0.0
@@ -95,8 +113,7 @@ def test_production_solution_near_optimal_on_real_problem():
     from swarm_simulator_tpu.qp import ipm, nullspace
 
     data = _forest_8agent_batch()
-    res = ipm.solve_ipm(data)
-    ipm.verify_optimal(data, res, tol=1e-6)
+    res = _oracle(data)
 
     # deep-polish ladder: the production default range (1e-3..1e1) favors
     # feasibility-first convergence at small budgets; objective polish to
@@ -128,8 +145,7 @@ def test_coefficient_parity_converged():
     from swarm_simulator_tpu.qp import ipm, nullspace
 
     data = _forest_8agent_batch()
-    res = ipm.solve_ipm(data)
-    ipm.verify_optimal(data, res, tol=1e-6)
+    res = _oracle(data)
 
     x = np.asarray(nullspace.solve_ns(
         data, nullspace.NSSettings(max_iter=20000, check_every=200,
@@ -144,3 +160,17 @@ def test_coefficient_parity_converged():
     assert abs(obj - obj_opt) <= 1e-4 * max(obj_opt, 1e-9)
     assert np.maximum(c - C @ xf, 0.0).max() < 1e-8
     assert np.abs(xf - xo).max() < 1e-3, np.abs(xf - xo).max()
+
+
+def test_reduced_ipm_matches_full():
+    """The fast equality-eliminated barrier (bench.py's denominator) must
+    land on the same optimum as the full-space oracle, and its returned
+    triple must pass the full-space KKT verification."""
+    from swarm_simulator_tpu.qp import ipm
+
+    data = _forest_8agent_batch()
+    res_full = _oracle(data)
+    res_red = ipm.solve_ipm_reduced(data, tol=1e-12, max_iter=80)
+    ipm.verify_optimal(data, res_red, tol=1e-6)
+    assert np.abs(res_red.x - res_full.x).max() < 1e-4, \
+        np.abs(res_red.x - res_full.x).max()
