@@ -123,10 +123,44 @@ def solve_scenarios(scenarios: list[Scenario], param: Param,
     return scenarios
 
 
+def pair_pad_bound(qn: int, param: Param) -> int:
+    """Deterministic upper bound on the pair rows any one agent batch can
+    own (the global pair list is all C(qn, 2) pairs, rsfc.build_rsfc):
+    B*(qn-B) one-sided rows + C(B, 2) intra-batch rows.  Streaming
+    dispatch pads every chunk to this bound so ONE compiled program
+    serves the whole run (masked rows are inactive by construction)."""
+    batches, _ = seqbatch.make_batches(qn, param)
+    return max(len(b) * (qn - len(b)) + len(b) * (len(b) - 1) // 2
+               for b in batches)
+
+
+def _assemble_scenario(sc: Scenario, param: Param, batch_iter: int,
+                       batches, pad: int):
+    dummy = assemble.build_dummy(sc.plan.init_traj, param.n, sc.plan.M)
+    datas = [assemble.assemble_batch(sc.plan, sc.mission, param, b,
+                                     dummy, pad, device=False)
+             for b in batches[:batch_iter]]
+    return seqbatch._stack_qpdata(datas), dummy
+
+
 def run_monte_carlo(mission: Mission, param: Param, *, n_scenarios: int,
                     seed0: int = 0, forest_kwargs: dict | None = None,
-                    settings: admm.ADMMSettings | None = None):
-    """Generate n_scenarios seeded forests and plan them all, batched."""
+                    settings: admm.ADMMSettings | None = None,
+                    pipeline: int | None = None):
+    """Generate n_scenarios seeded forests and plan them all, batched.
+
+    pipeline=None: two phases — prep everything (thread pool), then one
+    batched device dispatch per (M, qn) bucket.  At 256 agents the host
+    prep measured 42 s against 5.2 s of device compute, fully serialized.
+
+    pipeline=k: streaming overlap — scenarios are dispatched to the
+    device in chunks of k AS their host prep completes, and JAX's async
+    dispatch returns before the solve finishes, so chunk j solves on
+    device while chunks j+1.. are still running ECBS/corridor/assembly
+    on host threads.  Every chunk is padded to exactly (k scenarios,
+    pair_pad_bound rows), so each (M, qn) bucket compiles ONCE.  Results
+    are materialized only after every chunk has been dispatched.
+    """
     from ..world.forest import generate_forest
 
     fk = dict(obs_num=20, r_min=0.3, r_max=0.3, h_min=0.0, h_max=2.5,
@@ -140,6 +174,87 @@ def run_monte_carlo(mission: Mission, param: Param, *, n_scenarios: int,
                                        seed=seed0 + i, **fk))
         for i in range(n_scenarios)
     ]
-    prep_scenarios(scenarios, param)
-    solve_scenarios(scenarios, param, settings)
+    if pipeline is None:
+        prep_scenarios(scenarios, param)
+        solve_scenarios(scenarios, param, settings)
+        return scenarios
+    return _run_pipelined(scenarios, param, settings, chunk=pipeline)
+
+
+def _run_pipelined(scenarios: list[Scenario], param: Param,
+                   settings: admm.ADMMSettings | None, chunk: int,
+                   max_workers: int = 8) -> list[Scenario]:
+    """Streaming prep -> assemble -> dispatch (see run_monte_carlo)."""
+    import jax
+    import jax.numpy as jnp
+
+    from concurrent.futures import as_completed
+
+    from . import mesh as pmesh
+
+    if settings is None:
+        settings = admm.ADMMSettings(
+            max_iter=param.solver_max_iter, eps_abs=param.solver_eps_abs,
+            eps_rel=param.solver_eps_rel, kkt_solver="cg",
+            adaptive_rho=True, eps_dual_abs=0.5)
+    rounds = max(1, param.iteration)
+
+    def prep(i: int) -> int:
+        sc = scenarios[i]
+        try:
+            esdf = ESDF(sc.world, max_dist=param.esdf_max_dist)
+            plan = plan_initial_trajectories(esdf, sc.mission, param)
+            build_corridors(esdf, plan, sc.mission.radius, param)
+            sc.plan = plan
+        except Exception as e:
+            sc.error = f"{type(e).__name__}: {e}"
+        return i
+
+    pending: dict[tuple[int, int], list[int]] = {}
+    in_flight: list[tuple[list[int], object]] = []
+
+    def dispatch(key: tuple[int, int], idxs: list[int]):
+        M, qn = key
+        batches, batch_iter = seqbatch.make_batches(qn, param)
+        if batch_iter == 0:
+            return
+        pad = pair_pad_bound(qn, param)
+        # pad the chunk to full size by repeating the last scenario —
+        # same shapes as every other chunk -> one compile per bucket
+        rows = idxs + [idxs[-1]] * (chunk - len(idxs))
+        per_scenario, dummies = [], []
+        for i in rows:
+            stacked_i, dummy_i = _assemble_scenario(
+                scenarios[i], param, batch_iter, batches, pad)
+            per_scenario.append(stacked_i)
+            dummies.append(dummy_i)
+        stacked = jax.tree.map(
+            lambda *xs: jnp.asarray(np.stack(xs)), *per_scenario)
+        dm0 = jnp.asarray(np.stack(dummies), dtype=stacked.lb.dtype)
+        ctrls, _info = jax.vmap(
+            lambda s_, d_: pmesh.jacobi_sweep(s_, d_, settings,
+                                              rounds=rounds))(stacked, dm0)
+        in_flight.append((idxs, ctrls))   # async: not materialized yet
+
+    with ThreadPoolExecutor(max_workers=max_workers) as pool:
+        futs = [pool.submit(prep, i) for i in range(len(scenarios))]
+        for fut in as_completed(futs):
+            i = fut.result()
+            sc = scenarios[i]
+            if sc.plan is None or sc.error is not None:
+                continue
+            key = (sc.plan.M, sc.mission.qn)
+            pending.setdefault(key, []).append(i)
+            if len(pending[key]) == chunk:
+                dispatch(key, pending.pop(key))
+        for key, idxs in sorted(pending.items()):
+            dispatch(key, idxs)
+
+    for idxs, ctrls in in_flight:
+        ctrls = np.asarray(ctrls, dtype=np.float64)
+        for row, i in enumerate(idxs):
+            plan = scenarios[i].plan
+            plan.coef = convert.ctrl_to_coef(ctrls[row], plan.T, param.n)
+            plan.solver_info = {"mode": "scenario-pipelined-device",
+                                "M": plan.M, "rounds": rounds}
     return scenarios
