@@ -140,7 +140,13 @@ class NSOp(NamedTuple):
     Kinvs: jnp.ndarray | None   # [R, nw3, nw3] KKT inverses per rung
     # banded mode (block-tridiagonal Thomas over knots):
     Dinvs: jnp.ndarray | None   # [R, Mi, bs, bs] pivot-block inverses
-    Kos: jnp.ndarray | None     # [Mi-1, bs, bs] off-diag (rho-free)
+    # off-diagonal blocks are I_B3 (x) Ho with Ho [phi, phi] (the jerk
+    # cost couples adjacent knots within one agent/axis only) — stored
+    # SMALL and applied through the Kronecker structure: materializing
+    # [Mi-1, bs, bs] dense blocks streamed 45 MB of mostly-zeros from
+    # HBM every iteration (measured: the banded iteration is
+    # HBM-bandwidth-bound)
+    Kos: jnp.ndarray | None     # [Mi-1, phi, phi] off-diag small blocks
 
 
 def knot_maps(dt: jnp.ndarray, n: int, phi: int):
@@ -266,7 +272,12 @@ def prepare_ns(data: QPData, s: NSSettings) -> NSOp:
         base_d = kron_b(eyeB3[None].repeat(Mi, 0), Hd + sigI)
         rho_d = kron_b(eyeB3[None].repeat(Mi, 0), NtN_k) \
             + kron_b(C[1:M], WL[1:M]) + kron_b(C[0:M - 1], WR[0:M - 1])
-        Kos = kron_b(eyeB3[None].repeat(Mi - 1, 0), Ho)
+
+        def ko_sandwich(Dinv, Ho_k):
+            # (I (x) Ho)^T Dinv (I (x) Ho) via the small blocks
+            Dr = Dinv.reshape(B3, phi, B3, phi)
+            out = jnp.einsum("ai,xayb,bj->xiyj", Ho_k, Dr, Ho_k)
+            return out.reshape(B3 * phi, B3 * phi)
 
         def inv_refined(S_):
             # one Newton step X <- X (2I - S X) on the f32 inverse: the
@@ -281,18 +292,18 @@ def prepare_ns(data: QPData, s: NSSettings) -> NSOp:
             Kd = base_d + rho * rho_d
 
             def step(Dinv_prev, inp):
-                Kd_k, Ko_prev = inp
-                S_ = Kd_k - Ko_prev.T @ (Dinv_prev @ Ko_prev)
+                Kd_k, Ho_prev = inp
+                S_ = Kd_k - ko_sandwich(Dinv_prev, Ho_prev)
                 Dinv_k = inv_refined(S_)
                 return Dinv_k, Dinv_k
 
             Dinv0 = inv_refined(Kd[0])
-            _, Ds = jax.lax.scan(step, Dinv0, (Kd[1:], Kos))
+            _, Ds = jax.lax.scan(step, Dinv0, (Kd[1:], Ho))
             return jnp.concatenate([Dinv0[None], Ds], axis=0)
 
         Dinvs = jax.vmap(factor)(ladder)         # [R, Mi, bs, bs]
         return NSOp(N=N, x_pin=x_pin, g=g, F0=F0, FT=FT, c_s=c_s,
-                    ladder=ladder, Kinvs=None, Dinvs=Dinvs, Kos=Kos)
+                    ladder=ladder, Kinvs=None, Dinvs=Dinvs, Kos=Ho)
 
     # dense mode: K(rho) = K0 + rho K1, both [B3*nw, B3*nw]:
     #   K0 = I_B3 (x) (c_s N^T Qb N + sigma I)
@@ -331,31 +342,44 @@ def make_kinv_apply(op: NSOp, B: int, K3: int, M: int, phi: int):
 
     Mi = M - 1
     bs = B * K3 * phi
+    B3 = B * K3
 
     def kinv_apply(rho_idx, rhs):
         # block-tridiagonal Thomas solve over knots; block vector at
-        # knot k holds all (agent, axis, comp) entries
+        # knot k holds all (agent, axis, comp) entries.  Off-diagonal
+        # blocks I_B3 (x) Ho are applied through the Kronecker structure
+        # (per-agent [phi, phi] contraction) — only the dense pivot
+        # inverses stream from HBM
         Dinv = op.Dinvs[rho_idx]                    # [Mi, bs, bs]
-        Ko = op.Kos                                 # [Mi-1, bs, bs]
+        Ho = op.Kos                                 # [Mi-1, phi, phi]
         b = rhs.reshape(B, K3, Mi, phi).transpose(2, 0, 1, 3)
         b = b.reshape(Mi, bs)
 
+        def koT(Ho_k, v):     # (I (x) Ho)^T v
+            return jnp.einsum("ai,xa->xi", Ho_k,
+                              v.reshape(B3, phi)).reshape(bs)
+
+        def ko(Ho_k, v):      # (I (x) Ho) v
+            return jnp.einsum("ab,xb->xa", Ho_k,
+                              v.reshape(B3, phi)).reshape(bs)
+
         def fwd(y_prev, inp):
-            b_k, Ko_prev, Dinv_prev = inp
-            y_k = b_k - Ko_prev.T @ (Dinv_prev @ y_prev)
+            b_k, Ho_prev, Dinv_prev = inp
+            y_k = b_k - koT(Ho_prev, Dinv_prev @ y_prev)
             return y_k, y_k
 
-        _, ys = jax.lax.scan(fwd, b[0], (b[1:], Ko, Dinv[:-1]))
+        _, ys = jax.lax.scan(fwd, b[0], (b[1:], Ho, Dinv[:-1]),
+                             unroll=4)
         y = jnp.concatenate([b[:1], ys], axis=0)
         x_last = Dinv[-1] @ y[-1]
 
         def bwd(x_next, inp):
-            y_k, Ko_k, Dinv_k = inp
-            x_k = Dinv_k @ (y_k - Ko_k @ x_next)
+            y_k, Ho_k, Dinv_k = inp
+            x_k = Dinv_k @ (y_k - ko(Ho_k, x_next))
             return x_k, x_k
 
-        _, xs = jax.lax.scan(bwd, x_last, (y[:-1], Ko, Dinv[:-1]),
-                             reverse=True)
+        _, xs = jax.lax.scan(bwd, x_last, (y[:-1], Ho, Dinv[:-1]),
+                             reverse=True, unroll=4)
         x = jnp.concatenate([xs, x_last[None]], axis=0)  # [Mi, bs]
         x = x.reshape(Mi, B, K3, phi).transpose(1, 2, 0, 3)
         return x.reshape(rhs.shape)
