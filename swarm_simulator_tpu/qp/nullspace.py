@@ -202,6 +202,150 @@ def _apply_Qseg(Qseg: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     return out.reshape(shape)
 
 
+def prepare_ns_np(data: QPData, s: NSSettings) -> NSOp:
+    """Host float64 twin of prepare_ns (numpy), leaves cast to the
+    problem dtype at the end.
+
+    Why it exists: the KKT rung inverses are the one prep quantity whose
+    f32 on-device computation measurably degrades solution quality.  The
+    round-1/2 cross-platform swap experiment isolated it — f64-prep +
+    TPU-iterate matches CPU-f64 polish quality, TPU-prep + CPU-iterate
+    does not — and one on-device Newton refinement step only partially
+    closes the gap (the residual matmuls themselves run in TPU f32).
+    Computing the inverses in host f64 and rounding ONCE to f32 gives
+    the best representable f32 operator; prep is dummy-independent and
+    amortized over the whole phased solve."""
+    import numpy as onp
+
+    if data.dt is None:
+        raise ValueError("QPData.dt required for the knot-state solver")
+    Qseg = onp.asarray(data.Qseg, onp.float64)
+    M, npp, _ = Qseg.shape
+    n = npp - 1
+    phi = onp.asarray(data.Aeq).shape[0] // (M + 1)
+    if npp != 2 * phi:
+        raise ValueError("knot-state formulation needs n+1 == 2*phi")
+    D = M * npp
+    lb = onp.asarray(data.lb)
+    B = lb.shape[0]
+    B3 = 3 * B
+    dt_ = lb.dtype
+
+    from .ipm import _knot_maps_np
+    L, R, F0, FT = _knot_maps_np(onp.asarray(data.dt), n, phi)
+
+    Mi = M - 1
+    nw = Mi * phi
+    N = onp.zeros((M, npp, Mi, phi))
+    if Mi:
+        for m in range(1, M):
+            N[m, :phi, m - 1, :] = L[m]
+            N[m - 1, phi:, m - 1, :] = R[m - 1]
+    N = N.reshape(D, nw)
+
+    deq = onp.asarray(data.deq, onp.float64)
+    s_all = onp.zeros((B, 3, M + 1, phi))
+    s_all[:, :, 0, :] = deq[:, :, :phi]
+    s_all[:, :, M, :] = deq[:, :, phi:2 * phi]
+    left = onp.einsum("mij,bkmj->bkmi", L, s_all[:, :, :M])
+    right = onp.einsum("mij,bkmj->bkmi", R, s_all[:, :, 1:])
+    x_pin = onp.concatenate([left, right], axis=-1).reshape(B, 3, D)
+
+    def apply_Q(v):
+        vs = v.reshape(v.shape[:-1] + (M, npp))
+        return onp.einsum("mij,...mj->...mi", Qseg,
+                          vs).reshape(v.shape)
+
+    H_raw = N.T @ apply_Q(N.T).T
+    c_s = 1.0 / onp.clip(onp.mean(onp.max(onp.abs(H_raw), axis=0)),
+                         1e-12, None)
+    g = c_s * onp.einsum("da,bkd->bka", N, apply_Q(x_pin))
+
+    if s.adaptive_rho:
+        ladder = onp.logspace(onp.log10(s.rho_min), onp.log10(s.rho_max),
+                              s.n_rungs)
+    else:
+        ladder = onp.asarray([s.rho], onp.float64)
+
+    # pair coupling [M, B3, B3] (f64 twin of admm._build_coupling)
+    pm = onp.asarray(data.pair_mask, onp.float64)
+    bi = onp.asarray(data.pair_bi)
+    bj = onp.asarray(data.pair_bj)
+    pn = onp.asarray(data.pair_n, onp.float64)        # [P, M, 3]
+    P = pn.shape[0]
+    Cp = onp.zeros((P, B))
+    onp.add.at(Cp, (onp.arange(P), onp.clip(bj, 0, None)),
+               (bj >= 0) * pm)
+    onp.add.at(Cp, (onp.arange(P), onp.clip(bi, 0, None)),
+               -((bi >= 0) * pm))
+    C = onp.zeros((M, B3, B3))
+    for m in range(M):
+        A = (Cp[:, :, None] * pn[:, None, m, :]).reshape(P, B3)
+        C[m] = A.T @ A
+
+    def finish(**kw):
+        # leaves stay HOST numpy (cast once to the problem dtype): the
+        # caller decides when/where to transfer — on a tunneled remote
+        # backend the one bulk device_put is the only affordable shape
+        cast = {k: (None if v is None else
+                    onp.asarray(v).astype(dt_))
+                for k, v in kw.items()}
+        return NSOp(N=cast["N"], x_pin=cast["x_pin"], g=cast["g"],
+                    F0=cast["F0"], FT=cast["FT"], c_s=cast["c_s"],
+                    ladder=cast["ladder"], Kinvs=cast["Kinvs"],
+                    Dinvs=cast["Dinvs"], Kos=cast["Kos"])
+
+    if s.kkt_mode == "banded":
+        WL = onp.einsum("mia,mib->mab", L, L)
+        WR = onp.einsum("mia,mib->mab", R, R)
+        Q00 = onp.einsum("mia,mij,mjb->mab", L, Qseg[:, :phi, :phi], L)
+        Q11 = onp.einsum("mia,mij,mjb->mab", R, Qseg[:, phi:, phi:], R)
+        Q01 = onp.einsum("mia,mij,mjb->mab", L, Qseg[:, :phi, phi:], R)
+        Hd = c_s * (Q00[1:M] + Q11[0:M - 1])
+        NtN_k = WL[1:M] + WR[0:M - 1]
+        Ho = c_s * Q01[1:M - 1]
+        bs = B3 * phi
+        eyeB3 = onp.eye(B3)
+
+        def kron_b(Cb, Wb):
+            out = onp.einsum("...ij,...ab->...iajb", Cb, Wb)
+            return out.reshape(out.shape[:-4] + (bs, bs))
+
+        sigI = s.sigma * onp.eye(phi)
+        base_d = kron_b(onp.repeat(eyeB3[None], Mi, 0), Hd + sigI)
+        rho_d = kron_b(onp.repeat(eyeB3[None], Mi, 0), NtN_k) \
+            + kron_b(C[1:M], WL[1:M]) + kron_b(C[0:M - 1], WR[0:M - 1])
+
+        Dinvs = onp.zeros((len(ladder), Mi, bs, bs))
+        for r, rho in enumerate(ladder):
+            Kd = base_d + rho * rho_d
+            Dprev = onp.linalg.inv(Kd[0])
+            Dinvs[r, 0] = Dprev
+            for k in range(1, Mi):
+                Dr = Dprev.reshape(B3, phi, B3, phi)
+                sand = onp.einsum("ai,xayb,bj->xiyj", Ho[k - 1], Dr,
+                                  Ho[k - 1]).reshape(bs, bs)
+                Dprev = onp.linalg.inv(Kd[k] - sand)
+                Dinvs[r, k] = Dprev
+        return finish(N=N, x_pin=x_pin, g=g, F0=F0, FT=FT, c_s=c_s,
+                      ladder=ladder, Kinvs=None, Dinvs=Dinvs, Kos=Ho)
+
+    H = c_s * H_raw + s.sigma * onp.eye(nw)
+    NtN = N.T @ N
+    K0 = onp.einsum("ab,de->adbe", onp.eye(B3), H)
+    K1 = onp.einsum("ab,de->adbe", onp.eye(B3), NtN)
+    Nm = N.reshape(M, npp, nw)
+    W = onp.einsum("mda,mdb->mab", Nm, Nm)
+    K1 = K1 + onp.einsum("mab,mij->iajb", W, C)
+    nx = B3 * nw
+    K0 = K0.reshape(nx, nx)
+    K1 = K1.reshape(nx, nx)
+    Ks = K0[None] + ladder[:, None, None] * K1[None]
+    Kinvs = onp.linalg.inv(Ks)
+    return finish(N=N, x_pin=x_pin, g=g, F0=F0, FT=FT, c_s=c_s,
+                  ladder=ladder, Kinvs=Kinvs, Dinvs=None, Kos=None)
+
+
 def prepare_ns(data: QPData, s: NSSettings) -> NSOp:
     """All dummy-independent prep: maps, linear term, KKT inverse ladder."""
     if data.dt is None:
@@ -553,7 +697,7 @@ def solve_single_ns(data: QPData, s: NSSettings):
 
 
 def solve_ns_phases(data: QPData, phases: tuple[NSSettings, ...],
-                    return_state: bool = False):
+                    return_state: bool = False, op: NSOp | None = None):
     """Phased rho schedule sharing ONE prepared op (the KKT rung
     inventory comes from phases[0]; later phases fence the adaptive walk
     via rho_lo/rho_hi and carry the full ADMM state across phases).
@@ -563,9 +707,13 @@ def solve_ns_phases(data: QPData, phases: tuple[NSSettings, ...],
       2. objective polish   (unfenced — the deep rungs do the work)
       3. feasibility restore (fenced high again; starts near-optimal so
          the boxes pull in with little objective damage)
+
+    op: optionally a precomputed NSOp (e.g. prepare_ns_np's host-f64
+    inverses — the production joint path) instead of preparing on device.
     """
     with jax.default_matmul_precision("highest"):
-        op = prepare_ns(data, phases[0])
+        if op is None:
+            op = prepare_ns(data, phases[0])
         state = None
         x = info = None
         for s in phases:

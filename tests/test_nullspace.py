@@ -125,3 +125,53 @@ def test_banded_solve_matches_dense_solution():
     xb = np.asarray(nullspace.solve_ns(
         data, dataclasses.replace(s, kkt_mode="banded")))
     assert np.abs(xd - xb).max() < 1e-5, np.abs(xd - xb).max()
+
+
+def test_prepare_ns_np_matches_jax():
+    """Host-f64 prep twin (the production joint path's operator source)
+    must agree with the on-device prep in both KKT modes.  The unit
+    suite runs CPU float64, so both preps compute in f64 and the match
+    is tight."""
+    from swarm_simulator_tpu.qp import nullspace
+
+    for mode in ("dense", "banded"):
+        data, param = _data(n_agents=3, M=5, nonuniform=(mode == "dense"))
+        s = nullspace.NSSettings(kkt_mode=mode)
+        op_j = nullspace.prepare_ns(data, s)
+        op_n = nullspace.prepare_ns_np(data, s)
+        assert np.allclose(op_n.N, op_j.N, atol=1e-10)
+        assert np.allclose(op_n.x_pin, op_j.x_pin, atol=1e-10)
+        assert np.allclose(op_n.g, op_j.g, atol=1e-9)
+        assert np.allclose(float(op_n.c_s), float(op_j.c_s), rtol=1e-12)
+        assert np.allclose(op_n.ladder, op_j.ladder, rtol=1e-12)
+        if mode == "banded":
+            assert np.allclose(op_n.Kos, op_j.Kos, atol=1e-10)
+            # the JAX path Newton-refines its inverses; both should be
+            # accurate f64 inverses here, so compare through the action
+            assert np.allclose(op_n.Dinvs, op_j.Dinvs, rtol=5e-6,
+                               atol=1e-8)
+        else:
+            assert np.allclose(op_n.Kinvs, op_j.Kinvs, rtol=5e-6,
+                               atol=1e-8)
+
+
+def test_solve_ns_phases_accepts_host_op():
+    """solve_ns_phases(op=prepare_ns_np(...)) must land on the same
+    solution as the on-device prep."""
+    import dataclasses
+
+    import jax
+
+    from swarm_simulator_tpu.qp import nullspace
+
+    data, param = _data(n_agents=3, M=5)
+    base = nullspace.NSSettings(kkt_mode="banded", max_iter=300,
+                                check_every=50)
+    phases = (dataclasses.replace(base, rho_lo=1e-2),
+              dataclasses.replace(base))
+    x_dev, _ = jax.jit(
+        lambda d: nullspace.solve_ns_phases(d, phases))(data)
+    op = nullspace.prepare_ns_np(data, phases[0])
+    x_host, _ = jax.jit(
+        lambda d, o: nullspace.solve_ns_phases(d, phases, op=o))(data, op)
+    assert np.allclose(np.asarray(x_dev), np.asarray(x_host), atol=1e-8)

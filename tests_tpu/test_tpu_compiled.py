@@ -46,8 +46,10 @@ def test_joint_gate_compiled_tpu():
     dev = _tpu_device()
     d = jax.tree.map(lambda x: jax.device_put(jax.numpy.asarray(x), dev),
                      data)
+    phases = bench.ns_phases()
+    op = jax.device_put(nullspace.prepare_ns_np(data, phases[0]), dev)
     x, info = jax.jit(
-        lambda dd: nullspace.solve_ns_phases(dd, bench.ns_phases()))(d)
+        lambda dd, oo: nullspace.solve_ns_phases(dd, phases, op=oo))(d, op)
     x = np.asarray(x, np.float64)
     ctrl = x.transpose(0, 2, 1).reshape(64, plan.M, param.n + 1, 3)
     ok, m = bench.gate_quality(ctrl, plan, mission, param)
