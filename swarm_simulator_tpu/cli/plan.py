@@ -20,7 +20,10 @@ import sys
 
 def build_argparser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--mission", required=True, help="mission JSON path")
+    p.add_argument("--mission", default=None,
+                   help="mission JSON path (optional with --preset: the "
+                   "preset's mission file is looked up in "
+                   "$SWARM_MISSIONS_DIR)")
     p.add_argument("--preset", default=None,
                    help="launch-file preset from core.config (overrides "
                         "world/grid/plan knobs)")
@@ -89,6 +92,17 @@ def main(argv=None) -> int:
     import swarm_simulator_tpu as sst
     from swarm_simulator_tpu.io.mission_json import load_mission
 
+    if args.mission is None:
+        if not args.preset:
+            print("error: --mission is required (or use --preset)",
+                  file=sys.stderr)
+            return 2
+        import os
+
+        from swarm_simulator_tpu.core.config import preset as get_preset
+        mdir = os.environ.get("SWARM_MISSIONS_DIR",
+                              "/root/reference/swarm_planner/missions")
+        args.mission = os.path.join(mdir, get_preset(args.preset).mission)
     mission = load_mission(args.mission)
     if args.noise > 0:
         mission = mission.apply_noise(args.noise, args.noise_seed)

@@ -49,10 +49,12 @@ _PRESETS = {
                     corridor_mode="flat", sequential=False),
         mission="mission_8agents_12.json",
     ),
-    # SCP baseline node (swarm_traj_planner_scp.cpp:30: 0.01 start noise)
+    # SCP baseline node (plan_scp_empty_space.launch:19,30: 8-agent
+    # mission, plan/time_step 0.5; swarm_traj_planner_scp.cpp:30 adds
+    # 0.01 start noise)
     "scp": Preset(
-        param=Param(world_z_min=0.0, time_step=1.0),
-        mission="mission_8agents_12.json",
+        param=Param(world_z_min=0.0, time_step=0.5),
+        mission="mission_8agents_15.json",
     ),
 }
 

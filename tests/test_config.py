@@ -20,6 +20,9 @@ def test_presets_mirror_launch_defaults():
     assert preset("rbp_test").param.ecbs_w == 1.5  # plan_rbp_test.launch
     assert preset("rbp_flat").param.corridor_mode == "flat"
     assert "scp" in available()
+    # plan_scp_empty_space.launch:19,30
+    assert preset("scp").param.time_step == 0.5
+    assert preset("scp").mission == "mission_8agents_15.json"
 
 
 def test_problem_size_counters():
