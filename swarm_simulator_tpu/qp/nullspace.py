@@ -112,6 +112,13 @@ class NSSettings:
     #             (the 64-agent joint KKT would be a 20160^2 dense
     #             inverse = 1.6 GB per rung)
     kkt_mode: str = "dense"
+    # Pallas double-buffered Thomas kernel for the banded solve
+    # (ops/pallas_thomas.py): streams ONLY the dense pivot inverses from
+    # HBM with prefetch-ahead DMA; requires UNIFORM segment durations
+    # (constant off-diagonal Ho) and a single (un-vmapped) solve — the
+    # caller asserts both.  Off by default; the production joint bench
+    # path turns it on.
+    thomas_kernel: bool = False
     # constraint tightening (meters): the optimum sits ON the separation
     # planes, so a first-order solver's residual infeasibility would tip
     # the strict min-distance-ratio >= 1 acceptance.  Tightening pair rhs
@@ -327,6 +334,10 @@ def prepare_ns_np(data: QPData, s: NSSettings) -> NSOp:
                                   Ho[k - 1]).reshape(bs, bs)
                 Dprev = onp.linalg.inv(Kd[k] - sand)
                 Dinvs[r, k] = Dprev
+        # the pivots are inverses of SPD Schur complements — symmetrize
+        # so row-vector matvecs (v @ Dinv, the Pallas Thomas kernel's
+        # layout) are exactly the column form
+        Dinvs = 0.5 * (Dinvs + Dinvs.transpose(0, 1, 3, 2))
         return finish(N=N, x_pin=x_pin, g=g, F0=F0, FT=FT, c_s=c_s,
                       ladder=ladder, Kinvs=None, Dinvs=Dinvs, Kos=Ho)
 
@@ -474,7 +485,8 @@ def prepare_ns(data: QPData, s: NSSettings) -> NSOp:
                 ladder=ladder, Kinvs=Kinvs, Dinvs=None, Kos=None)
 
 
-def make_kinv_apply(op: NSOp, B: int, K3: int, M: int, phi: int):
+def make_kinv_apply(op: NSOp, B: int, K3: int, M: int, phi: int,
+                    thomas_kernel: bool = False):
     """KKT-system solver `(rho_idx, rhs [B, K3, nw]) -> [B, K3, nw]` for
     whichever mode the op was prepared in (dense inverse matmul, or
     block-tridiagonal Thomas over knots)."""
@@ -487,6 +499,23 @@ def make_kinv_apply(op: NSOp, B: int, K3: int, M: int, phi: int):
     Mi = M - 1
     bs = B * K3 * phi
     B3 = B * K3
+
+    if thomas_kernel:
+        from ..ops.pallas_thomas import thomas_solve_pallas
+
+        # uniform off-diagonal: expand I_B3 (x) Ho[0] once (VMEM-resident
+        # inside the kernel); caller guarantees uniform segment durations
+        koM = jnp.kron(jnp.eye(B3, dtype=op.Kos.dtype), op.Kos[0])
+
+        def kinv_apply_pallas(rho_idx, rhs):
+            b = rhs.reshape(B, K3, Mi, phi).transpose(2, 0, 1, 3)
+            b = b.reshape(Mi, bs)
+            x = thomas_solve_pallas(op.Dinvs, koM, koM.T, b,
+                                    rho_idx)
+            x = x.reshape(Mi, B, K3, phi).transpose(1, 2, 0, 3)
+            return x.reshape(rhs.shape)
+
+        return kinv_apply_pallas
 
     def kinv_apply(rho_idx, rhs):
         # block-tridiagonal Thomas solve over knots; block vector at
@@ -612,7 +641,8 @@ def _iterate_ns(data: QPData, op: NSOp, s: NSSettings, init=None,
         z = tmap(jnp.clip, z, l, u)
     rho_idx = jnp.clip(rho_idx, idx_lo, idx_hi)
 
-    kinv_apply = make_kinv_apply(op, B, K3, M, phi)
+    kinv_apply = make_kinv_apply(op, B, K3, M, phi,
+                                 thomas_kernel=s.thomas_kernel)
 
     def admm_step(carry, _):
         w, z, y, rho_idx = carry

@@ -1,0 +1,121 @@
+"""Measure the Pallas Thomas kernel (ops/pallas_thomas.py) against the
+XLA lax.scan banded apply at PRODUCTION shapes on the real TPU.
+
+The joint 64-agent banded KKT apply is the HBM-roofline op of the
+production solve (benchmarks/stack_study_tpu.json): Dinvs is
+[R=9, Mi, 576, 576] f32 (~420 MB) and each ADMM iteration streams one
+rung's Mi pivot blocks twice (forward + backward sweep) = ~93 MB, a
+~116 us byte floor at v5e HBM bandwidth.  This tool reports:
+
+  * compiled-TPU max relative error Pallas vs XLA (every rung),
+  * per-apply seconds for both paths (chained applies inside one jit,
+    output feeding the next rhs, so the axon tunnel cannot cache and
+    dispatch overhead amortizes).
+
+Usage: python tools/thomas_bench.py [--seed 0] [--chain 50] [--reps 3]
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--chain", type=int, default=50)
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import jax.numpy as jnp
+
+    sys.path.insert(0, ".")
+    from bench import assemble_joint, build_problem, ns_settings
+
+    from swarm_simulator_tpu.ops.pallas_thomas import thomas_solve_pallas
+    from swarm_simulator_tpu.qp import nullspace
+
+    plan, mission, param = build_problem(args.seed)
+    data, _ = assemble_joint(plan, mission, param)
+    s = ns_settings()
+    t0 = time.perf_counter()
+    op = nullspace.prepare_ns_np(data, s)
+    log(f"prep {time.perf_counter() - t0:.1f}s")
+
+    B = mission.qn
+    K3, phi, M = 3, 3, plan.M
+    Mi = M - 1
+    bs = B * K3 * phi
+    log(f"shapes: B={B} M={M} Mi={Mi} bs={bs} "
+        f"Dinvs {op.Dinvs.shape} = "
+        f"{op.Dinvs.nbytes / 1e6:.0f} MB")
+
+    t0 = time.perf_counter()
+    op_dev = jax.device_put(op)
+    jax.block_until_ready(op_dev.Dinvs)
+    log(f"transfer {time.perf_counter() - t0:.1f}s")
+
+    apply_xla = nullspace.make_kinv_apply(op_dev, B, K3, M, phi)
+    apply_pl = nullspace.make_kinv_apply(op_dev, B, K3, M, phi,
+                                         thomas_kernel=True)
+
+    rng = np.random.default_rng(0)
+    rhs = jnp.asarray(rng.standard_normal((B, K3, Mi * phi)), jnp.float32)
+
+    # ---- accuracy, compiled on the real backend, every rung ----
+    for r in range(op.Dinvs.shape[0]):
+        want = np.asarray(jax.jit(apply_xla)(jnp.int32(r), rhs))
+        got = np.asarray(jax.jit(apply_pl)(jnp.int32(r), rhs))
+        scale = max(np.abs(want).max(), 1.0)
+        err = np.abs(got - want).max() / scale
+        log(f"rung {r}: rel err {err:.2e}")
+        assert err < 5e-5, (r, err)
+    log("accuracy OK on all rungs")
+
+    # ---- timing: chained applies (output -> next rhs) ----
+    def chained(apply_fn):
+        @jax.jit
+        def run(rhs0, r):
+            def body(i, v):
+                return apply_fn(r, v) * 0.99 + rhs0 * 0.01
+            return jax.lax.fori_loop(0, args.chain, body, rhs0)
+        return run
+
+    out = {}
+    for name, fn in (("xla_scan", chained(apply_xla)),
+                     ("pallas", chained(apply_pl))):
+        fn(rhs, jnp.int32(4)).block_until_ready()   # compile
+        times = []
+        for rep in range(args.reps):
+            r2 = rhs + 1e-6 * (rep + 1)
+            t0 = time.perf_counter()
+            np.asarray(fn(r2, jnp.int32(4)))
+            times.append(time.perf_counter() - t0)
+        per = min(times) / args.chain
+        out[name] = per
+        log(f"{name}: {per * 1e6:.0f} us/apply (chain={args.chain}, "
+            f"best of {args.reps})")
+
+    byte_floor = 2 * Mi * bs * bs * 4 / 8.2e11
+    log(f"byte floor (~820 GB/s): {byte_floor * 1e6:.0f} us/apply")
+    log(f"speedup: {out['xla_scan'] / out['pallas']:.2f}x")
+
+
+if __name__ == "__main__":
+    main()
