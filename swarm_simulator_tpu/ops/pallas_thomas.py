@@ -68,7 +68,8 @@ def _mv(v, M):
 
 
 def _kernel(rho_ref, dinvs_ref, koM_ref, koMT_ref, b_ref, x_ref,
-            buf_ref, sem_ref, *, Mi: int, bs: int):
+            buf_ref, sem_ref, *, Mi: int, bs: int,
+            fwd_only: bool = False):
     r = rho_ref[0]
 
     def dma(slot, k):
@@ -95,6 +96,9 @@ def _kernel(rho_ref, dinvs_ref, koM_ref, koMT_ref, b_ref, x_ref,
         return 0
 
     jax.lax.fori_loop(1, Mi, fwd, 0, unroll=False)
+
+    if fwd_only:    # debug probe (tools/pallas_debug/thomas_probe.py)
+        return
 
     # ---- last pivot: x_{Mi-1} = y_{Mi-1} Dinv_{Mi-1} ----
     slot_last = (Mi - 1) % 2
@@ -136,8 +140,24 @@ def thomas_solve_pallas(dinvs: jnp.ndarray, koM: jnp.ndarray,
     b:     [Mi, bs] right-hand side
     rho_idx: scalar int32 rung selector
     Returns x [Mi, bs].
+
+    Mosaic requires HBM DMA slices 128-aligned in the lane dim; bs is
+    typically not (64 agents -> bs=576).  We zero-pad every operand to
+    the lane grid — under jit the pads are loop-invariant, so XLA hoists
+    the one-time padded copy out of the ADMM iteration loop, and the
+    zero tail rows/cols propagate exact zeros through the sweeps.
     """
     R, Mi, bs, _ = dinvs.shape
+    pad = (-bs) % 128
+    if pad:
+        bsp = bs + pad
+        dinvs = jnp.zeros((R, Mi, bsp, bsp), dinvs.dtype
+                          ).at[:, :, :bs, :bs].set(dinvs)
+        koM = jnp.zeros((bsp, bsp), koM.dtype).at[:bs, :bs].set(koM)
+        koMT = jnp.zeros((bsp, bsp), koMT.dtype).at[:bs, :bs].set(koMT)
+        b = jnp.zeros((Mi, bsp), b.dtype).at[:, :bs].set(b)
+        return thomas_solve_pallas(dinvs, koM, koMT, b, rho_idx,
+                                   interpret=interpret)[:, :bs]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(1,),
@@ -159,7 +179,8 @@ def thomas_solve_pallas(dinvs: jnp.ndarray, koM: jnp.ndarray,
         grid_spec=grid_spec,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=int(1.5 * (2 * bs * bs + 2 * bs * bs
-                                        + 2 * Mi * bs) * 4),
+            # generous: double buffer + koM/koMT + their bf16 split
+            # temporaries; a tight limit trips "scoped vmem" stack OOM
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
     )(jnp.asarray(rho_idx, jnp.int32).reshape(1), dinvs, koM, koMT, b)
