@@ -3,26 +3,34 @@ HBM->VMEM double-buffered streaming of the pivot-block inverses.
 
 This is the hot memory op of the joint knot-state ADMM
 (qp/nullspace.py, kkt_mode="banded", replacing the CPLEX hot spot
-rbp_planner.hpp:111-206).  The measured roofline
-(benchmarks/stack_study_tpu.json): the iteration is HBM-bandwidth-bound
-streaming ~45 MB of dense pivot inverses per sweep; the XLA lax.scan
-pays ~0.36 ms/iteration against a ~110 us byte floor.  This kernel
-closes the scheduling gap:
+rbp_planner.hpp:111-206).  The measured roofline on the 64-agent
+operator (tools/thomas_bench.py, v5e): one KKT apply streams ~93 MB of
+dense pivot inverses (forward + backward sweep) for a ~113 us byte
+floor; the XLA lax.scan path pays 359 us.  Kernel design:
 
   * only the Mi dense pivot blocks stream from HBM (double-buffered,
-    prefetch-one-ahead DMA, so DMA overlaps the MXU matvecs);
+    prefetch-one-ahead async DMA, so the copy overlaps compute);
   * the off-diagonal blocks are I_B3 (x) Ho; with UNIFORM segment
-    durations Ho is constant over knots, so the two dense [bs, bs]
-    expansions (KoM = I (x) Ho and its transpose) are hoisted into VMEM
-    ONCE for the whole solve — zero per-step HBM traffic for them;
+    durations Ho is constant over knots, so the dense [bs, bs]
+    expansion KoM = I (x) Ho is hoisted into VMEM ONCE for the whole
+    solve — zero per-step HBM traffic for it;
   * the rho rung index enters as a scalar-prefetch argument and the DMA
     slices Dinvs[rho_idx, k] directly from HBM — no 45 MB gather of the
     selected rung ever materializes;
-  * matvecs run as row-vector [1, bs] @ [bs, bs] MXU dots in the 3-way
-    bf16-split scheme (see ops/pallas_admm.py provenance): Mosaic feeds
-    the MXU bf16 regardless of the f32 precision request, and the split
-    recovers f32-class accuracy.  The pivot inverses are symmetrized at
-    prep (prepare_ns_np), so v @ Dinv is exactly the column-form apply.
+  * matvecs run on the VPU as broadcast-multiply + cross-dim reduction
+    in TRUE f32 (an MXU formulation is weight-load bound at ~1.85 ms:
+    each [1,bs]x[bs,bs] dot streams the whole block through the
+    systolic array for one useful row, x6 for the bf16-split passes;
+    the VPU does the same 0.33 MFLOP at full f32 in ~1 us).  Each
+    reduction flips the vector between row [1,bs] and column [bs,1]
+    orientation, so the sweeps are arranged to need no transposes:
+    the forward pass stores T_k = y_k @ Dinv_k (the row-oriented
+    by-product of its own recursion), which is exactly the term the
+    backward pass needs: x_k = T_k - (x_{k+1} @ Ko^T) @ Dinv_k.
+    The one orientation flip per knot goes through a VMEM-resident
+    identity ("multiply by I" = transpose on the VPU).  The pivot
+    inverses are symmetrized at prep (prepare_ns_np), so v @ Dinv
+    equals Dinv @ v and both reduce directions are exact.
 
 Falls back to the XLA scan path (make_kinv_apply) for non-uniform
 segment durations or batched (vmapped) solves.
@@ -37,40 +45,29 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 f32 = jnp.float32
-bf16 = jnp.bfloat16
 
 
-def _split3(a):
-    """f32 -> three bf16 parts on the bf16 grid via top-16-bit masking
-    (plain bf16 round-trips get elided under --xla_allow_excess_precision,
-    silently degrading to single-pass bf16)."""
-    u32 = jnp.uint32
-    mask = u32(0xFFFF0000)
-    ua = jax.lax.bitcast_convert_type(a, u32)
-    a0 = jax.lax.bitcast_convert_type(ua & mask, f32)
-    r = a - a0
-    ur = jax.lax.bitcast_convert_type(r, u32)
-    a1 = jax.lax.bitcast_convert_type(ur & mask, f32)
-    a2 = r - a1
-    return a0.astype(bf16), a1.astype(bf16), a2.astype(bf16)
+def _mv_rc(v_row, A):
+    """row [1, bs] x [bs, bs] -> column [bs, 1]: out[s] = sum_l A[s,l] v[l].
+    For symmetric A this is (v @ A) in column orientation."""
+    return jnp.sum(A * v_row, axis=1, keepdims=True)
 
 
-def _mv(v, M):
-    """[1, bs] @ [bs, bs] with f32-via-bf16 3-way split (6 cross terms)."""
-    a0, a1, a2 = _split3(v)
-    b0, b1, b2 = _split3(M)
-    dns = (((1,), (0,)), ((), ()))
-    d = lambda u, w: jax.lax.dot_general(u, w, dns,
-                                         preferred_element_type=f32)
-    return (d(a0, b0)
-            + (d(a0, b1) + d(a1, b0))
-            + (d(a0, b2) + d(a1, b1) + d(a2, b0)))
+def _mv_cr(v_col, A):
+    """column [bs, 1] x [bs, bs] -> row [1, bs]: out[j] = sum_r v[r] A[r,j]
+    = (v @ A) in row orientation."""
+    return jnp.sum(A * v_col, axis=0, keepdims=True)
 
 
-def _kernel(rho_ref, dinvs_ref, koM_ref, koMT_ref, b_ref, x_ref,
-            buf_ref, sem_ref, *, Mi: int, bs: int,
+def _kernel(rho_ref, dinvs_ref, koM_ref, b_ref, x_ref,
+            buf_ref, sem_ref, t_ref, eye_ref, *, Mi: int, bs: int,
             fwd_only: bool = False):
     r = rho_ref[0]
+
+    # identity, built once: "multiply by I" is the VPU transpose
+    ii = jax.lax.broadcasted_iota(jnp.int32, (bs, bs), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (bs, bs), 1)
+    eye_ref[:] = (ii == jj).astype(f32)
 
     def dma(slot, k):
         return pltpu.make_async_copy(dinvs_ref.at[r, k],
@@ -80,8 +77,8 @@ def _kernel(rho_ref, dinvs_ref, koM_ref, koMT_ref, b_ref, x_ref,
         return ref[pl.ds(k, 1), :]
 
     # ---- forward elimination: y_k = b_k - (y_{k-1} Dinv_{k-1}) KoM ----
-    # y is stored in x_ref (the backward pass overwrites slot k only
-    # after its last read of y_k)
+    # y rows live in x_ref (the backward pass overwrites slot k only
+    # after its last read); T_k = y_k Dinv_k rows live in t_ref
     x_ref[pl.ds(0, 1), :] = row(b_ref, 0)
     dma(0, 0).start()
 
@@ -91,8 +88,9 @@ def _kernel(rho_ref, dinvs_ref, koM_ref, koMT_ref, b_ref, x_ref,
             dma(k % 2, k).start()      # consumed by iteration k+1
         slot = (k - 1) % 2
         dma(slot, k - 1).wait()
-        t = _mv(row(x_ref, k - 1), buf_ref[slot])
-        x_ref[pl.ds(k, 1), :] = row(b_ref, k) - _mv(t, koM_ref[:])
+        t_col = _mv_rc(row(x_ref, k - 1), buf_ref[slot])
+        t_ref[pl.ds(k - 1, 1), :] = _mv_cr(t_col, eye_ref[:])
+        x_ref[pl.ds(k, 1), :] = row(b_ref, k) - _mv_cr(t_col, koM_ref[:])
         return 0
 
     jax.lax.fori_loop(1, Mi, fwd, 0, unroll=False)
@@ -104,10 +102,12 @@ def _kernel(rho_ref, dinvs_ref, koM_ref, koMT_ref, b_ref, x_ref,
     slot_last = (Mi - 1) % 2
     dma(slot_last, Mi - 1).start()
     dma(slot_last, Mi - 1).wait()
-    x_ref[pl.ds(Mi - 1, 1), :] = _mv(row(x_ref, Mi - 1),
-                                     buf_ref[slot_last])
+    t_col = _mv_rc(row(x_ref, Mi - 1), buf_ref[slot_last])
+    x_ref[pl.ds(Mi - 1, 1), :] = _mv_cr(t_col, eye_ref[:])
 
-    # ---- back substitution: x_k = (y_k - x_{k+1} KoM^T) Dinv_k ----
+    # ---- back substitution: x_k = T_k - (x_{k+1} KoM^T) Dinv_k ----
+    # w = x_{k+1} KoM^T in column form is sum_l KoM[s,l] x[l] (_mv_rc
+    # with KoM directly); then (w Dinv_k) in row form closes the step.
     @pl.when(Mi > 1)
     def _():
         dma((Mi - 2) % 2, Mi - 2).start()
@@ -119,9 +119,10 @@ def _kernel(rho_ref, dinvs_ref, koM_ref, koMT_ref, b_ref, x_ref,
             def _():
                 dma((k - 1) % 2, k - 1).start()
             slot = k % 2
+            w_col = _mv_rc(row(x_ref, k + 1), koM_ref[:])
             dma(slot, k).wait()
-            z = row(x_ref, k) - _mv(row(x_ref, k + 1), koMT_ref[:])
-            x_ref[pl.ds(k, 1), :] = _mv(z, buf_ref[slot])
+            x_ref[pl.ds(k, 1), :] = (row(t_ref, k)
+                                     - _mv_cr(w_col, buf_ref[slot]))
             return 0
 
         jax.lax.fori_loop(0, Mi - 1, bwd, 0, unroll=False)
@@ -134,43 +135,67 @@ def thomas_solve_pallas(dinvs: jnp.ndarray, koM: jnp.ndarray,
                         interpret: bool = False) -> jnp.ndarray:
     """Solve the block-tridiagonal system for one rung.
 
-    dinvs: [R, Mi, bs, bs] pivot inverses (all rungs, stays in HBM)
+    dinvs: [R, Mi, bs, bs] pivot inverses (all rungs, stays in HBM),
+           symmetrized at prep
     koM:   [bs, bs] = I_B3 (x) Ho (uniform off-diagonal), VMEM-resident
-    koMT:  koM transpose
+    koMT:  koM transpose (unused by the VPU kernel; kept for interface
+           stability with the XLA fallback path)
     b:     [Mi, bs] right-hand side
     rho_idx: scalar int32 rung selector
     Returns x [Mi, bs].
 
     Mosaic requires HBM DMA slices 128-aligned in the lane dim; bs is
-    typically not (64 agents -> bs=576).  We zero-pad every operand to
-    the lane grid — under jit the pads are loop-invariant, so XLA hoists
-    the one-time padded copy out of the ADMM iteration loop, and the
-    zero tail rows/cols propagate exact zeros through the sweeps.
+    typically not (64 agents -> bs=576).  The zero tail rows/cols of
+    padded operands propagate exact zeros through the sweeps.  Pad
+    `dinvs` ONCE at operator prep (pad_pivots / prepare_ns_np with
+    thomas_kernel=True): an in-trace pad of the ~0.5 GB rung inventory
+    costs a full HBM copy per solve dispatch if XLA fails to hoist it.
+    The small per-call operands (koM, b) are padded here.
     """
-    R, Mi, bs, _ = dinvs.shape
-    pad = (-bs) % 128
-    if pad:
-        bsp = bs + pad
-        dinvs = jnp.zeros((R, Mi, bsp, bsp), dinvs.dtype
-                          ).at[:, :, :bs, :bs].set(dinvs)
+    del koMT
+    R, Mi, bsp, _ = dinvs.shape
+    bs = b.shape[-1]
+    if bsp % 128:                      # unpadded inventory (small/tests)
+        dinvs = pad_pivots(dinvs)
+        bsp = dinvs.shape[-1]
+    if bs != bsp:
         koM = jnp.zeros((bsp, bsp), koM.dtype).at[:bs, :bs].set(koM)
-        koMT = jnp.zeros((bsp, bsp), koMT.dtype).at[:bs, :bs].set(koMT)
         b = jnp.zeros((Mi, bsp), b.dtype).at[:, :bs].set(b)
-        return thomas_solve_pallas(dinvs, koM, koMT, b, rho_idx,
-                                   interpret=interpret)[:, :bs]
+        return _call(dinvs, koM, b, rho_idx, interpret)[:, :bs]
+    return _call(dinvs, koM, b, rho_idx, interpret)
+
+
+def pad_pivots(dinvs):
+    """Zero-pad the pivot-block inventory [R, Mi, bs, bs] to the 128-lane
+    grid in BOTH block dims (done once at prep; numpy or jax array)."""
+    bs = dinvs.shape[-1]
+    pad = (-bs) % 128
+    if not pad:
+        return dinvs
+    if isinstance(dinvs, jnp.ndarray):
+        R, Mi = dinvs.shape[:2]
+        return jnp.zeros((R, Mi, bs + pad, bs + pad), dinvs.dtype
+                         ).at[:, :, :bs, :bs].set(dinvs)
+    import numpy as onp
+    return onp.pad(dinvs, [(0, 0), (0, 0), (0, pad), (0, pad)])
+
+
+def _call(dinvs, koM, b, rho_idx, interpret):
+    R, Mi, bs, _ = dinvs.shape
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(1,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),       # dinvs (HBM)
             pl.BlockSpec(memory_space=pltpu.VMEM),   # koM
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # koMT
             pl.BlockSpec(memory_space=pltpu.VMEM),   # b
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, bs, bs), f32),            # double buffer
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((Mi, bs), f32),               # T_k rows
+            pltpu.VMEM((bs, bs), f32),               # identity
         ],
     )
     return pl.pallas_call(
@@ -179,8 +204,8 @@ def thomas_solve_pallas(dinvs: jnp.ndarray, koM: jnp.ndarray,
         grid_spec=grid_spec,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
-            # generous: double buffer + koM/koMT + their bf16 split
-            # temporaries; a tight limit trips "scoped vmem" stack OOM
+            # generous: double buffer + koM + identity + temporaries;
+            # a tight limit trips "scoped vmem" stack OOM
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
-    )(jnp.asarray(rho_idx, jnp.int32).reshape(1), dinvs, koM, koMT, b)
+    )(jnp.asarray(rho_idx, jnp.int32).reshape(1), dinvs, koM, b)

@@ -338,6 +338,11 @@ def prepare_ns_np(data: QPData, s: NSSettings) -> NSOp:
         # so row-vector matvecs (v @ Dinv, the Pallas Thomas kernel's
         # layout) are exactly the column form
         Dinvs = 0.5 * (Dinvs + Dinvs.transpose(0, 1, 3, 2))
+        if s.thomas_kernel:
+            # pad ONCE to the Mosaic 128-lane DMA grid (an in-trace pad
+            # would re-copy the ~0.5 GB inventory every solve dispatch)
+            from ..ops.pallas_thomas import pad_pivots
+            Dinvs = pad_pivots(Dinvs)
         return finish(N=N, x_pin=x_pin, g=g, F0=F0, FT=FT, c_s=c_s,
                       ladder=ladder, Kinvs=None, Dinvs=Dinvs, Kos=Ho)
 

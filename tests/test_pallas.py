@@ -106,3 +106,27 @@ def test_thomas_kernel_matches_xla_scan():
         scale = np.abs(want).max()
         assert np.abs(got - want).max() < 2e-5 * max(scale, 1.0), \
             (r, np.abs(got - want).max(), scale)
+
+    # production wiring: thomas_kernel=True prep pads the pivot
+    # inventory once to the 128-lane DMA grid, and make_kinv_apply's
+    # pallas branch consumes the padded op directly
+    sp = nullspace.NSSettings(kkt_mode="banded", n_rungs=3,
+                              thomas_kernel=True)
+    opp = nullspace.prepare_ns_np(data, sp)
+    assert opp.Dinvs.shape[-1] % 128 == 0, opp.Dinvs.shape
+    opp32 = jax.tree.map(
+        lambda a: None if a is None else jnp.asarray(np.asarray(a),
+                                                     jnp.float32), opp)
+    import swarm_simulator_tpu.ops.pallas_thomas as pt
+    orig = pt.thomas_solve_pallas
+    pt.thomas_solve_pallas = lambda *a, **k: orig(*a, interpret=True, **k)
+    try:
+        apply_pl = nullspace.make_kinv_apply(opp32, B, K3, M, phi,
+                                             thomas_kernel=True)
+        for r in range(3):
+            want = np.asarray(apply_xla(jnp.int32(r), rhs))
+            got = np.asarray(apply_pl(jnp.int32(r), rhs))
+            scale = max(np.abs(want).max(), 1.0)
+            assert np.abs(got - want).max() < 2e-5 * scale, r
+    finally:
+        pt.thomas_solve_pallas = orig

@@ -1,13 +1,14 @@
 """Compiled-TPU probes for ops/pallas_thomas.py: isolate which stage of
-the kernel breaks on hardware (interpret mode is exact; first compiled
-run showed rel err ~1).
+the kernel breaks on hardware (interpret mode runs the same program on
+CPU and is the reference).
 
 Synthetic small operands (no planner prep), aligned bs by default so the
 padding path is out of the picture.  Probes:
 
   1. dma:    copy dinvs[r, k] -> out for each k (DMA + scalar-prefetch
              indexing only)
-  2. mv:     out[k] = b[k] @ dinvs[r, k]  (DMA + bf16-split matvec)
+  2. mv:     out[k] = b[k] @ dinvs[r, k]  (DMA + VPU matvec + identity
+             transpose)
   3. fwd:    forward elimination only
   4. full:   the production kernel vs numpy Thomas
 
@@ -65,29 +66,31 @@ def main():
     interp = args.interpret
     probes = args.probes.split(",")
 
-    def grid_spec(n_out_rows):
-        return pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(1,),
-            in_specs=[pl.BlockSpec(memory_space=pl.ANY),
-                      pl.BlockSpec(memory_space=pltpu.VMEM),
-                      pl.BlockSpec(memory_space=pltpu.VMEM),
-                      pl.BlockSpec(memory_space=pltpu.VMEM)],
-            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-            scratch_shapes=[pltpu.VMEM((2, bs, bs), jnp.float32),
-                            pltpu.SemaphoreType.DMA((2,))],
-        )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((2, bs, bs), jnp.float32),
+                        pltpu.SemaphoreType.DMA((2,)),
+                        pltpu.VMEM((Mi, bs), jnp.float32),
+                        pltpu.VMEM((bs, bs), jnp.float32)],
+    )
 
-    def run(kernel, out_shape):
+    def run(kernel):
         return pl.pallas_call(
-            kernel, out_shape=out_shape, grid_spec=grid_spec(Mi),
-            interpret=interp,
-        )(jnp.int32(r_sel).reshape(1), dinvs_j, koM_j, koM_j.T, b_j)
+            kernel, out_shape=jax.ShapeDtypeStruct((Mi, bs), jnp.float32),
+            grid_spec=grid_spec, interpret=interp,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+        )(jnp.int32(r_sel).reshape(1), dinvs_j, koM_j, b_j)
 
     # ---- probe 1: DMA each block's row 0 out --------------------------
     if "dma" in probes:
-        def k_dma(rho_ref, dinvs_ref, koM_ref, koMT_ref, b_ref, out_ref,
-                  buf_ref, sem_ref):
+        def k_dma(rho_ref, dinvs_ref, koM_ref, b_ref, out_ref,
+                  buf_ref, sem_ref, t_ref, eye_ref):
             r = rho_ref[0]
 
             def body(k, _):
@@ -100,16 +103,18 @@ def main():
                 return 0
             jax.lax.fori_loop(0, Mi, body, 0)
 
-        got = np.asarray(run(k_dma, jax.ShapeDtypeStruct((Mi, bs),
-                                                         jnp.float32)))
+        got = np.asarray(run(k_dma))
         want = dinvs[r_sel, :, 0, :]
         log(f"dma probe: max err {np.abs(got - want).max():.2e}")
 
-    # ---- probe 2: matvec per block ------------------------------------
+    # ---- probe 2: matvec + identity transpose per block ---------------
     if "mv" in probes:
-        def k_mv(rho_ref, dinvs_ref, koM_ref, koMT_ref, b_ref, out_ref,
-                 buf_ref, sem_ref):
+        def k_mv(rho_ref, dinvs_ref, koM_ref, b_ref, out_ref,
+                 buf_ref, sem_ref, t_ref, eye_ref):
             r = rho_ref[0]
+            ii = jax.lax.broadcasted_iota(jnp.int32, (bs, bs), 0)
+            jj = jax.lax.broadcasted_iota(jnp.int32, (bs, bs), 1)
+            eye_ref[:] = (ii == jj).astype(jnp.float32)
 
             def body(k, _):
                 cp = pltpu.make_async_copy(dinvs_ref.at[r, k],
@@ -117,43 +122,46 @@ def main():
                                            sem_ref.at[k % 2])
                 cp.start()
                 cp.wait()
-                out_ref[pl.ds(k, 1), :] = T._mv(b_ref[pl.ds(k, 1), :],
-                                                buf_ref[k % 2])
+                t_col = T._mv_rc(b_ref[pl.ds(k, 1), :], buf_ref[k % 2])
+                out_ref[pl.ds(k, 1), :] = T._mv_cr(t_col, eye_ref[:])
                 return 0
             jax.lax.fori_loop(0, Mi, body, 0)
 
-        got = np.asarray(run(k_mv, jax.ShapeDtypeStruct((Mi, bs),
-                                                        jnp.float32)))
-        want = np.einsum("kb,kbc->kc", b.astype(np.float64),
-                         dinvs[r_sel].astype(np.float64))
+        got = np.asarray(run(k_mv))
+        # _mv_rc(v, A) = sum_l A[s,l] v[l] = A @ v; symmetrize NOT
+        # applied to synthetic blocks, so reference is D @ b_k
+        want = np.einsum("kbc,kc->kb", dinvs[r_sel].astype(np.float64),
+                         b.astype(np.float64))
         rel = np.abs(got - want).max() / np.abs(want).max()
         log(f"mv probe: max rel err {rel:.2e}")
 
     # ---- probe 3: forward elimination only ----------------------------
     if "fwd" in probes:
-        def k_fwd(rho_ref, dinvs_ref, koM_ref, koMT_ref, b_ref, out_ref,
-                  buf_ref, sem_ref):
-            T._kernel(rho_ref, dinvs_ref, koM_ref, koMT_ref, b_ref,
-                      out_ref, buf_ref, sem_ref, Mi=Mi, bs=bs,
+        def k_fwd(rho_ref, dinvs_ref, koM_ref, b_ref, out_ref,
+                  buf_ref, sem_ref, t_ref, eye_ref):
+            T._kernel(rho_ref, dinvs_ref, koM_ref, b_ref, out_ref,
+                      buf_ref, sem_ref, t_ref, eye_ref, Mi=Mi, bs=bs,
                       fwd_only=True)
 
-        got = np.asarray(run(k_fwd, jax.ShapeDtypeStruct((Mi, bs),
-                                                         jnp.float32)))
+        got = np.asarray(run(k_fwd))
         want = np.zeros((Mi, bs))
         want[0] = b[0]
+        # the VPU kernel computes y_{k-1} @ Dinv as Dinv @ y (symmetric
+        # in production); mirror ITS convention for synthetic blocks
         d64 = dinvs[r_sel].astype(np.float64)
         k64 = koM.astype(np.float64)
         for k in range(1, Mi):
-            want[k] = b[k] - (want[k - 1] @ d64[k - 1]) @ k64
+            want[k] = b[k] - (d64[k - 1] @ want[k - 1]) @ k64
         rel = np.abs(got - want).max() / np.abs(want).max()
         log(f"fwd probe: max rel err {rel:.2e}")
 
     # ---- probe 4: full kernel vs numpy Thomas -------------------------
     if "full" in probes:
+        dsym = 0.5 * (dinvs + dinvs.transpose(0, 1, 3, 2))
         got = np.asarray(T.thomas_solve_pallas(
-            dinvs_j, koM_j, koM_j.T, b_j, jnp.int32(r_sel),
+            jnp.asarray(dsym), koM_j, koM_j.T, b_j, jnp.int32(r_sel),
             interpret=interp))
-        d64 = dinvs[r_sel].astype(np.float64)
+        d64 = dsym[r_sel].astype(np.float64)
         k64 = koM.astype(np.float64)
         y = np.zeros((Mi, bs))
         y[0] = b[0]

@@ -69,6 +69,12 @@ def main():
     t0 = time.perf_counter()
     op_dev = jax.device_put(op)
     jax.block_until_ready(op_dev.Dinvs)
+    # kernel-path op with the pivot inventory pre-padded to the DMA lane
+    # grid (production does this at prep via thomas_kernel=True)
+    from swarm_simulator_tpu.ops.pallas_thomas import pad_pivots
+    op_pl = jax.device_put(op._replace(Dinvs=pad_pivots(
+        np.asarray(op.Dinvs))))
+    jax.block_until_ready(op_pl.Dinvs)
     log(f"transfer {time.perf_counter() - t0:.1f}s")
 
     # op must be a jit ARGUMENT, not a closure: closed-over device arrays
@@ -100,7 +106,7 @@ def main():
     # inexactness in the KKT apply
     for r in range(op.Dinvs.shape[0]):
         want = np.asarray(apply_xla(op_dev, jnp.int32(r), rhs))
-        got = np.asarray(apply_pl(op_dev, jnp.int32(r), rhs))
+        got = np.asarray(apply_pl(op_pl, jnp.int32(r), rhs))
         scale = max(np.abs(want).max(), 1.0)
         err = np.abs(got - want).max() / scale
         log(f"rung {r}: rel err {err:.2e}")
@@ -121,14 +127,14 @@ def main():
         return run
 
     out = {}
-    for name, fn in (("xla_scan", chained(False)),
-                     ("pallas", chained(True))):
-        fn(op_dev, rhs, jnp.int32(4)).block_until_ready()   # compile
+    for name, fn, oo in (("xla_scan", chained(False), op_dev),
+                         ("pallas", chained(True), op_pl)):
+        fn(oo, rhs, jnp.int32(4)).block_until_ready()   # compile
         times = []
         for rep in range(args.reps):
             r2 = rhs + 1e-6 * (rep + 1)
             t0 = time.perf_counter()
-            np.asarray(fn(op_dev, r2, jnp.int32(4)))
+            np.asarray(fn(oo, r2, jnp.int32(4)))
             times.append(time.perf_counter() - t0)
         per = min(times) / args.chain
         out[name] = per
