@@ -82,3 +82,48 @@ def test_pallas_admm_compiled_quality():
         jax.numpy.maximum(ll - a, a - uu), 0.0), av, l, u)
     viol = max(float(jax.numpy.max(v)) for v in over if v.size > 0)
     assert viol < 5e-4, viol
+
+
+def test_thomas_kernel_compiled_accuracy():
+    """The Pallas Thomas kernel (ops/pallas_thomas.py) must reproduce
+    the precision-highest XLA banded apply compiled on TPU, every rung,
+    on a REAL prepared operator (round-2 finding: both paths are at the
+    achievable HBM ceiling; the kernel stays off by default but its
+    compiled accuracy is pinned here so a Mosaic regression is
+    visible)."""
+    import numpy as np
+
+    import bench
+    from swarm_simulator_tpu.ops.pallas_thomas import pad_pivots
+    from swarm_simulator_tpu.qp import nullspace
+
+    jnp = jax.numpy
+    plan, mission, param = bench.build_problem(seed=0)
+    data, _ = bench.assemble_joint(plan, mission, param)
+    s = bench.ns_settings()
+    op = nullspace.prepare_ns_np(data, s)
+    dev = _tpu_device()
+    op_dev = jax.device_put(op, dev)
+    op_pl = jax.device_put(op._replace(Dinvs=pad_pivots(
+        np.asarray(op.Dinvs))), dev)
+    B, K3, phi, M = mission.qn, 3, 3, plan.M
+
+    @jax.jit
+    def apply_xla(o, r, v):
+        with jax.default_matmul_precision("highest"):
+            return nullspace.make_kinv_apply(o, B, K3, M, phi)(r, v)
+
+    @jax.jit
+    def apply_pl(o, r, v):
+        with jax.default_matmul_precision("highest"):
+            return nullspace.make_kinv_apply(o, B, K3, M, phi,
+                                             thomas_kernel=True)(r, v)
+
+    rng = np.random.default_rng(7)
+    rhs = jnp.asarray(rng.standard_normal((B, K3, (M - 1) * phi)),
+                      jnp.float32)
+    for r in range(op.Dinvs.shape[0]):
+        want = np.asarray(apply_xla(op_dev, jnp.int32(r), rhs))
+        got = np.asarray(apply_pl(op_pl, jnp.int32(r), rhs))
+        err = np.abs(got - want).max() / max(np.abs(want).max(), 1.0)
+        assert err < 2e-3, (r, err)
