@@ -112,17 +112,20 @@ def ns_settings():
 def ns_phases():
     """Production phased rho schedule (see nullspace.solve_ns_phases):
     feasibility-first -> deep objective polish -> feasibility restore.
-    Budgets from the measured margin-vs-iterations profile on the WORST
-    gate seeds (sparse forests 2/4, where low absolute jerk inflates the
-    relative margin): polish at 600 leaves seed 4 at 1.25x the IPM
-    best-response (right at the gate), 1200 reaches 1.18x, 1800 only
-    1.180x — the schedule sits at the knee."""
+
+    Budgets re-tuned AFTER the host-f64 KKT prep landed
+    (tools/schedule_study.py, all 5 gate seeds): (200, 600, 100) passes
+    everywhere with worst objective margin 1.083 vs the 1.25 gate bound
+    (binding seed 4); (150, 400, 100) fails seed 4 at 1.286 and
+    (100, 300, 80) fails seeds 2/4 — the schedule sits at the knee with
+    headroom.  The pre-f64-prep budgets (400, 1200, 200) are 2x more
+    iterations for the same gate outcome."""
     import dataclasses
 
     base = ns_settings()
-    return (dataclasses.replace(base, max_iter=400, rho_lo=1e-3),
-            dataclasses.replace(base, max_iter=1200),
-            dataclasses.replace(base, max_iter=200, rho_lo=1e-2))
+    return (dataclasses.replace(base, max_iter=200, rho_lo=1e-3),
+            dataclasses.replace(base, max_iter=600),
+            dataclasses.replace(base, max_iter=100, rho_lo=1e-2))
 
 
 def gate_quality(ctrl, plan, mission, param, obj_ref=None, obj_b0=None,
