@@ -4,7 +4,7 @@ The headline bench (bench.py) solves the canonical 64-agent 20-obstacle
 forest as ONE joint QP (all 2016 pair constraints active, banded KKT) —
 this test pins that exact path at CPU float32 so a regression in solver,
 corridor, or assembly code cannot silently lose the gate.  Runtime is
-dominated by the 1200-iteration phased solve (~1 min CPU).
+dominated by the 900-iteration phased solve (~30 s CPU).
 """
 import sys
 from pathlib import Path
