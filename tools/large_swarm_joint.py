@@ -118,6 +118,12 @@ def main():
 
     t0 = time.perf_counter()
     data_dev = jax.tree.map(jnp.asarray, data)
+    # NOTE: tunnel transfer rates crater non-monotonically for multi-GB
+    # payloads (measured: one 7.5 GB put 44 MB/s, 5 async 1.5 GB puts
+    # 115 MB/s, 20x377 MB 83 MB/s, 70x108 MB 38 MB/s, run-to-run
+    # variance up to 3x).  Chunked puts would need a device-side stack
+    # that doubles peak HBM (2 x 7.5 GB > v5e capacity), so the
+    # one-time, replan-amortized cost stays a single put.
     op_dev = jax.device_put(op)
     jax.block_until_ready(op_dev.Dinvs)
     t_xfer = time.perf_counter() - t0
