@@ -324,8 +324,13 @@ def prepare_ns_np(data: QPData, s: NSSettings) -> NSOp:
             + kron_b(C[1:M], WL[1:M]) + kron_b(C[0:M - 1], WR[0:M - 1])
 
         Dinvs = onp.zeros((len(ladder), Mi, bs, bs))
-        for r, rho in enumerate(ladder):
-            Kd = base_d + rho * rho_d
+
+        def fill_rung(r):
+            # rungs are independent; LAPACK inv/einsum release the GIL,
+            # so a thread pool parallelizes the dominant cost without
+            # copying the multi-GB Kd operands (256 agents: 34 min
+            # single-threaded)
+            Kd = base_d + ladder[r] * rho_d
             Dprev = onp.linalg.inv(Kd[0])
             Dinvs[r, 0] = Dprev
             for k in range(1, Mi):
@@ -334,6 +339,10 @@ def prepare_ns_np(data: QPData, s: NSSettings) -> NSOp:
                                   Ho[k - 1]).reshape(bs, bs)
                 Dprev = onp.linalg.inv(Kd[k] - sand)
                 Dinvs[r, k] = Dprev
+
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=min(len(ladder), 4)) as ex:
+            list(ex.map(fill_rung, range(len(ladder))))
         # the pivots are inverses of SPD Schur complements — symmetrize
         # so row-vector matvecs (v @ Dinv, the Pallas Thomas kernel's
         # layout) are exactly the column form
