@@ -98,7 +98,21 @@ def build_rsfc(init_traj: np.ndarray, downwash: float):
     if len(pair_idx) == 0:
         M = init_traj.shape[1] - 1
         return pair_idx, np.zeros((0, M, 3))
-    normals, dmin = _pair_planes_numpy(init_traj, pair_idx, float(downwash))
+    if len(pair_idx) * (init_traj.shape[1] - 1) > 200_000:
+        # large swarms: the fused XLA op on the LOCAL CPU backend is
+        # 10-50x the numpy chain (measured 0.27 s vs 2.4-13.8 s at 256
+        # agents / 32,640 pairs); pinned to CPU so the host pipeline
+        # never round-trips the tunneled accelerator
+        with jax.default_device(jax.devices("cpu")[0]), \
+                jax.enable_x64(True):            # keep f64 parity with
+            normals, dmin = pair_separating_planes(   # the numpy twin
+                jnp.asarray(init_traj), jnp.asarray(pair_idx),
+                downwash=float(downwash))
+            normals = np.asarray(normals)
+            dmin = np.asarray(dmin)
+    else:
+        normals, dmin = _pair_planes_numpy(init_traj, pair_idx,
+                                           float(downwash))
     if np.any(dmin <= 0):
         p, m = np.argwhere(dmin <= 0)[0]
         raise ValueError(
