@@ -147,8 +147,7 @@ def update_obs_boxes(esdf: ESDF, plan: PlanResult, radius: np.ndarray,
             if backend == "native":
                 raise
 
-    sfc_all = []
-    for qi in range(N):
+    def agent_sfc(qi):
         traj = plan.init_traj[qi]
         try:
             boxes = expand(esdf, traj, float(radius[qi]), param)
@@ -189,5 +188,10 @@ def update_obs_boxes(esdf: ESDF, plan: PlanResult, radius: np.ndarray,
                 path_iter -= 1
             path_iter += 1
         end_times[box_max - 1] = makespan
-        sfc_all.append([(boxes[bi], end_times[bi]) for bi in range(box_max)])
-    return sfc_all
+        return [(boxes[bi], end_times[bi]) for bi in range(box_max)]
+
+    # agents are independent and the dominant cost (the native greedy
+    # expansion) releases the GIL — thread across agents, order kept
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        return list(ex.map(agent_sfc, range(N)))
