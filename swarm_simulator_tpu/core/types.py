@@ -165,6 +165,9 @@ class PlanResult:
     sfc: Optional[list] = None
     rsfc: Optional[dict] = None
     coef: Optional[np.ndarray] = None
+    # Bernstein control points of the solved trajectories (the solver's
+    # native output; coef is their power-basis conversion)
+    ctrl: Optional[np.ndarray] = None  # [N, M, n+1, 3]
     # dense per-segment forms consumed by the QP (built by corridor.times)
     seg_boxes: Optional[np.ndarray] = None  # [N, M, 6]
     pair_normals: Optional[np.ndarray] = None  # [P, M, 3]

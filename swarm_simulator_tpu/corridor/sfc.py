@@ -190,8 +190,11 @@ def update_obs_boxes(esdf: ESDF, plan: PlanResult, radius: np.ndarray,
         end_times[box_max - 1] = makespan
         return [(boxes[bi], end_times[bi]) for bi in range(box_max)]
 
-    # agents are independent and the dominant cost (the native greedy
-    # expansion) releases the GIL — thread across agents, order kept
-    from concurrent.futures import ThreadPoolExecutor
-    with ThreadPoolExecutor(max_workers=4) as ex:
-        return list(ex.map(agent_sfc, range(N)))
+    # agents are independent and the NATIVE greedy expansion releases
+    # the GIL — thread across agents (order kept).  The pure-Python
+    # fallback holds the GIL, so threading it would only add contention.
+    if expand is _agent_boxes_native:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=4) as ex:
+            return list(ex.map(agent_sfc, range(N)))
+    return [agent_sfc(qi) for qi in range(N)]

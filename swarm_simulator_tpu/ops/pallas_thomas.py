@@ -80,7 +80,8 @@ def _kernel(rho_ref, dinvs_ref, koM_ref, b_ref, x_ref,
     # y rows live in x_ref (the backward pass overwrites slot k only
     # after its last read); T_k = y_k Dinv_k rows live in t_ref
     x_ref[pl.ds(0, 1), :] = row(b_ref, 0)
-    dma(0, 0).start()
+    if Mi > 1:          # Mi == 1: the last-pivot section issues block 0
+        dma(0, 0).start()
 
     def fwd(k, _):
         @pl.when(k < Mi - 1)

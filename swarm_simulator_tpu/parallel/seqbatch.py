@@ -77,6 +77,7 @@ def solve_trajectories(
     infos = []
     if param.sequential and batch_iter == 0:
         # publish the initial trajectory (rbp_planner.hpp:119-138)
+        plan.ctrl = ctrl
         plan.coef = convert.ctrl_to_coef(ctrl, plan.T, n)
         plan.solver_info = {"iters": [], "mode": "init-only"}
         return plan
@@ -130,6 +131,7 @@ def solve_trajectories(
         for b in batches[:batch_iter]:
             ctrl[b] = ctrl_dev[b]
             solved[b] = True
+        plan.ctrl = ctrl
         plan.coef = convert.ctrl_to_coef(ctrl, plan.T, n)
         plan.solver_info = {
             "iters": [int(i) for i in np.asarray(info.iters)],
@@ -171,6 +173,7 @@ def solve_trajectories(
                 infos.append(info)
 
     # agents never solved keep their dummy trajectory (rbp_planner.hpp:187-192)
+    plan.ctrl = ctrl
     plan.coef = convert.ctrl_to_coef(ctrl, plan.T, n)
 
     def flat(field):

@@ -327,17 +327,20 @@ def prepare_ns_np(data: QPData, s: NSSettings) -> NSOp:
 
         def fill_rung(r):
             # rungs are independent; LAPACK inv/einsum release the GIL,
-            # so a thread pool parallelizes the dominant cost without
-            # copying the multi-GB Kd operands (256 agents: 34 min
-            # single-threaded)
-            Kd = base_d + ladder[r] * rho_d
-            Dprev = onp.linalg.inv(Kd[0])
+            # so a thread pool parallelizes the dominant cost (256
+            # agents: 34 min single-threaded).  Kd is formed per KNOT so
+            # each thread's transient is one [bs, bs] block, not the
+            # full [Mi, bs, bs] operand (~1.3 GB f64 per thread at 256
+            # agents)
+            rho = ladder[r]
+            Dprev = onp.linalg.inv(base_d[0] + rho * rho_d[0])
             Dinvs[r, 0] = Dprev
             for k in range(1, Mi):
                 Dr = Dprev.reshape(B3, phi, B3, phi)
                 sand = onp.einsum("ai,xayb,bj->xiyj", Ho[k - 1], Dr,
                                   Ho[k - 1]).reshape(bs, bs)
-                Dprev = onp.linalg.inv(Kd[k] - sand)
+                Dprev = onp.linalg.inv(base_d[k] + rho * rho_d[k]
+                                       - sand)
                 Dinvs[r, k] = Dprev
 
         from concurrent.futures import ThreadPoolExecutor
@@ -347,7 +350,15 @@ def prepare_ns_np(data: QPData, s: NSSettings) -> NSOp:
         # so row-vector matvecs (v @ Dinv, the Pallas Thomas kernel's
         # layout) are exactly the column form
         Dinvs = 0.5 * (Dinvs + Dinvs.transpose(0, 1, 3, 2))
-        if s.thomas_kernel:
+        if s.thomas_kernel and Mi > 1:
+            # the kernel assumes a CONSTANT off-diagonal block (I (x)
+            # Ho[0]); non-uniform segment durations would make it
+            # silently solve the wrong system
+            if not onp.allclose(Ho, Ho[:1], atol=1e-12):
+                raise ValueError(
+                    "NSSettings.thomas_kernel=True requires uniform "
+                    "segment durations (constant off-diagonal Ho); use "
+                    "the XLA scan path for non-uniform knots")
             # pad ONCE to the Mosaic 128-lane DMA grid (an in-trace pad
             # would re-copy the ~0.5 GB inventory every solve dispatch)
             from ..ops.pallas_thomas import pad_pivots
@@ -514,11 +525,20 @@ def make_kinv_apply(op: NSOp, B: int, K3: int, M: int, phi: int,
     bs = B * K3 * phi
     B3 = B * K3
 
-    if thomas_kernel:
+    if thomas_kernel and Mi > 1:
         from ..ops.pallas_thomas import thomas_solve_pallas
 
+        # the kernel path requires an op prepared WITH thomas_kernel=True
+        # (uniform-dt check + pivot inventory pre-padded to the 128-lane
+        # DMA grid); an unpadded op would re-copy ~0.5 GB inside the
+        # ADMM scan body every dispatch
+        if op.Dinvs.shape[-1] % 128 != 0:
+            raise ValueError(
+                "thomas_kernel=True needs an operator prepared with "
+                "NSSettings.thomas_kernel=True (lane-padded pivots); got "
+                f"Dinvs[..., {op.Dinvs.shape[-1]}]")
         # uniform off-diagonal: expand I_B3 (x) Ho[0] once (VMEM-resident
-        # inside the kernel); caller guarantees uniform segment durations
+        # inside the kernel); prepare_ns_np verified dt uniformity
         koM = jnp.kron(jnp.eye(B3, dtype=op.Kos.dtype), op.Kos[0])
 
         def kinv_apply_pallas(rho_idx, rhs):
@@ -530,6 +550,12 @@ def make_kinv_apply(op: NSOp, B: int, K3: int, M: int, phi: int,
             return x.reshape(rhs.shape)
 
         return kinv_apply_pallas
+
+    if op.Dinvs is not None and op.Dinvs.shape[-1] != bs:
+        raise ValueError(
+            "operator was prepared for the Pallas Thomas kernel "
+            f"(lane-padded Dinvs[..., {op.Dinvs.shape[-1]}], bs={bs}) — "
+            "solve it with NSSettings.thomas_kernel=True")
 
     def kinv_apply(rho_idx, rhs):
         # block-tridiagonal Thomas solve over knots; block vector at

@@ -175,3 +175,32 @@ def test_solve_ns_phases_accepts_host_op():
     x_host, _ = jax.jit(
         lambda d, o: nullspace.solve_ns_phases(d, phases, op=o))(data, op)
     assert np.allclose(np.asarray(x_dev), np.asarray(x_host), atol=1e-8)
+
+
+def test_thomas_kernel_guards():
+    """The Pallas Thomas path must be impossible to misuse silently:
+    non-uniform segment durations are rejected at prep (the kernel
+    assumes a constant off-diagonal block), and a prep/solve flag
+    mismatch raises instead of re-padding in-trace or shape-crashing."""
+    import pytest
+
+    from swarm_simulator_tpu.qp import nullspace
+
+    data_nu, _ = _data(n_agents=3, M=5, nonuniform=True)
+    s_pl = nullspace.NSSettings(kkt_mode="banded", n_rungs=2,
+                                thomas_kernel=True)
+    with pytest.raises(ValueError, match="uniform"):
+        nullspace.prepare_ns_np(data_nu, s_pl)
+
+    data, _ = _data(n_agents=3, M=5)
+    op_pl = nullspace.prepare_ns_np(data, s_pl)        # padded
+    assert op_pl.Dinvs.shape[-1] % 128 == 0
+    with pytest.raises(ValueError, match="thomas_kernel"):
+        nullspace.make_kinv_apply(op_pl, 3, 3, 5, 3,
+                                  thomas_kernel=False)
+
+    s_xla = nullspace.NSSettings(kkt_mode="banded", n_rungs=2)
+    op_xla = nullspace.prepare_ns_np(data, s_xla)      # unpadded
+    with pytest.raises(ValueError, match="lane-padded"):
+        nullspace.make_kinv_apply(op_xla, 3, 3, 5, 3,
+                                  thomas_kernel=True)

@@ -78,19 +78,10 @@ def main():
         f"M={plan.M} pairs={len(plan.pair_idx)}")
 
     # ---- sequential GS reference solution (objective yardstick) ------
-    captured = {}
-    orig = convert.ctrl_to_coef
-
-    def cap(ctrl, T, n):
-        captured["ctrl"] = np.asarray(ctrl)
-        return orig(ctrl, T, n)
-
-    convert.ctrl_to_coef = cap
     t0 = time.perf_counter()
     seqbatch.solve_trajectories(plan, mission, param, None)
     t_seq = time.perf_counter() - t0
-    convert.ctrl_to_coef = orig
-    ctrl_seq = captured["ctrl"]
+    ctrl_seq = np.asarray(plan.ctrl)
     log(f"sequential GS: {t_seq:.1f}s")
 
     # ---- joint assembly + host-f64 banded prep -----------------------

@@ -141,8 +141,15 @@ def main():
         log(f"{name}: {per * 1e6:.0f} us/apply (chain={args.chain}, "
             f"best of {args.reps})")
 
-    byte_floor = 2 * Mi * bs * bs * 4 / 8.2e11
-    log(f"byte floor (~820 GB/s): {byte_floor * 1e6:.0f} us/apply")
+    # the XLA scan streams unpadded [bs, bs] blocks; the kernel streams
+    # 128-lane-padded [bsp, bsp] blocks — its own floor is ~(bsp/bs)^2
+    # higher (23% at bs=576)
+    bsp = bs + (-bs) % 128
+    for tag, w in (("xla", bs), ("pallas(padded)", bsp)):
+        floor = 2 * Mi * w * w * 4 / 8.2e11
+        log(f"byte floor {tag} (~820 GB/s spec): "
+            f"{floor * 1e6:.0f} us/apply; at the measured ~250 GB/s "
+            f"achievable: {floor * 1e6 * 8.2 / 2.5:.0f} us/apply")
     log(f"speedup: {out['xla_scan'] / out['pallas']:.2f}x")
 
 

@@ -46,7 +46,7 @@ def main():
                        gate_quality, ipm_best_response_batch0, ns_settings)
 
     from swarm_simulator_tpu.parallel import seqbatch
-    from swarm_simulator_tpu.qp import convert, nullspace
+    from swarm_simulator_tpu.qp import nullspace
 
     plan, mission, param = build_problem(args.seed)
     data, _ = assemble_joint(plan, mission, param)
@@ -56,20 +56,11 @@ def main():
     op = jax.device_put(nullspace.prepare_ns_np(data, base))
     log(f"prep {time.perf_counter() - t0:.1f}s")
 
-    # ---- sequential GS solution, control points captured ------------
-    captured = {}
-    orig = convert.ctrl_to_coef
-
-    def cap(ctrl, T, n):
-        captured["ctrl"] = np.asarray(ctrl)
-        return orig(ctrl, T, n)
-
-    convert.ctrl_to_coef = cap
+    # ---- sequential GS solution (plan.ctrl = solved control points) --
     t0 = time.perf_counter()
     seqbatch.solve_trajectories(plan, mission, param, None)
     t_seq = time.perf_counter() - t0
-    convert.ctrl_to_coef = orig
-    ctrl_seq = captured["ctrl"]                     # [B, M, n+1, 3]
+    ctrl_seq = np.asarray(plan.ctrl)                # [B, M, n+1, 3]
     B = ctrl_seq.shape[0]
     x_seq = jnp.asarray(ctrl_seq.transpose(0, 3, 1, 2)
                         .reshape(B, 3, -1), jnp.float32)
