@@ -114,12 +114,13 @@ def ns_phases():
     feasibility-first -> deep objective polish -> feasibility restore.
 
     Budgets re-tuned AFTER the host-f64 KKT prep landed
-    (tools/schedule_study.py, all 5 gate seeds): (200, 600, 100) passes
-    everywhere with worst objective margin 1.083 vs the 1.25 gate bound
-    (binding seed 4); (150, 400, 100) fails seed 4 at 1.286 and
-    (100, 300, 80) fails seeds 2/4 — the schedule sits at the knee with
-    headroom.  The pre-f64-prep budgets (400, 1200, 200) are 2x more
-    iterations for the same gate outcome."""
+    (tools/schedule_study.py): (200, 600, 100) passes TEN forest seeds
+    (0-9) with worst objective margin 1.173 vs the 1.25 gate bound
+    (seed 8; the 5 bench seeds peak at 1.083 on seed 4);
+    (150, 400, 100) fails seeds 4/8 and (100, 300, 80) fails 5 of 10 —
+    the schedule sits at the knee with headroom
+    (benchmarks/schedule_seeds5-9_cpu.log).  The pre-f64-prep budgets
+    (400, 1200, 200) are 2x more iterations for the same gate outcome."""
     import dataclasses
 
     base = ns_settings()
