@@ -77,6 +77,10 @@ def build_argparser() -> argparse.ArgumentParser:
                         "param.hpp:45)")
     p.add_argument("--json", action="store_true",
                    help="print metrics as one JSON line")
+    p.add_argument("--animate", action="store_true",
+                   help="with --log-dir: write playback.gif — the "
+                        "offline stand-in for the reference's 20 Hz "
+                        "rviz playback (rbp_publisher.hpp:93-127)")
     return p
 
 
@@ -175,6 +179,11 @@ def main(argv=None) -> int:
                            path=str(d / "safety_margin.png"))
         plot_trajectories_topview(st[:, :, 0], result.init_traj, world,
                                   path=str(d / "trajectories.png"))
+        if args.animate:
+            from swarm_simulator_tpu.io.viz import animate_swarm
+            animate_swarm(ts, st[:, :, 0], mission.radius, world,
+                          result.init_traj, downwash=param.downwash,
+                          path=str(d / "playback.gif"))
 
     if args.json:
         print(json.dumps({"metrics": metrics,

@@ -116,6 +116,74 @@ def plot_trajectories_topview(pos, init_traj=None, world=None, path=None):
     return fig
 
 
+def animate_swarm(ts, pos, radius, world=None, init_traj=None,
+                  downwash: float = 2.0, path="swarm.gif",
+                  fps: int = 20, trail: int = 30):
+    """Top-view playback animation — the offline equivalent of the
+    reference's 20 Hz interactive surface (RBPPublisher::update/publish,
+    rbp_publisher.hpp:93-127: TF broadcast + collision-model markers at
+    each tick, here rendered as physical-radius discs with fading
+    trails over the occupancy underlay).
+
+    ts [S], pos [N, S, 3], radius [N]; writes a GIF via pillow.
+    """
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from matplotlib.animation import FuncAnimation, PillowWriter
+
+    N, S, _ = pos.shape
+    colors = agent_colors(N)
+    fig, ax = plt.subplots(figsize=(7, 7))
+    if world is not None:
+        occ2d = world.occ.any(axis=2)
+        x0 = world.i0[0] * world.res
+        y0 = world.i0[1] * world.res
+        ax.imshow(occ2d.T, origin="lower", cmap="Greys", alpha=0.4,
+                  extent=[x0, x0 + occ2d.shape[0] * world.res,
+                          y0, y0 + occ2d.shape[1] * world.res])
+    if init_traj is not None:
+        for qi in range(N):
+            ax.plot(init_traj[qi, :, 0], init_traj[qi, :, 1],
+                    color=colors[qi], lw=0.5, ls=":", alpha=0.5)
+    lo = pos.reshape(-1, 3).min(axis=0) - 0.5
+    hi = pos.reshape(-1, 3).max(axis=0) + 0.5
+    ax.set_xlim(lo[0], hi[0])
+    ax.set_ylim(lo[1], hi[1])
+    ax.set_aspect("equal")
+    ax.set_xlabel("x [m]")
+    ax.set_ylabel("y [m]")
+
+    discs = []
+    trails = []
+    for qi in range(N):
+        c = plt.Circle((pos[qi, 0, 0], pos[qi, 0, 1]), float(radius[qi]),
+                       color=colors[qi], alpha=0.8)
+        ax.add_patch(c)
+        discs.append(c)
+        (ln,) = ax.plot([], [], color=colors[qi], lw=0.8, alpha=0.6)
+        trails.append(ln)
+    title = ax.set_title("t = 0.00 s")
+
+    # ~fps frames per simulated second regardless of sample step
+    step = max(1, int(round(1.0 / (fps * (ts[1] - ts[0])))) if S > 1
+               else 1)
+    frames = range(0, S, step)
+
+    def update(s):
+        for qi in range(N):
+            discs[qi].center = (pos[qi, s, 0], pos[qi, s, 1])
+            a = max(0, s - trail)
+            trails[qi].set_data(pos[qi, a:s + 1, 0], pos[qi, a:s + 1, 1])
+        title.set_text(f"t = {ts[s]:.2f} s")
+        return discs + trails
+
+    anim = FuncAnimation(fig, update, frames=frames, blit=False)
+    anim.save(path, writer=PillowWriter(fps=fps))
+    plt.close(fig)
+    return path
+
+
 def plot_scp_distances(res, radius, path=None):
     """SCP pairwise-distance plot (scp_plotter.hpp): every pair's distance
     over the discrete horizon with its collision threshold."""
