@@ -98,3 +98,22 @@ def test_log_flag_exports_qp_and_problem_size(tmp_path, monkeypatch):
     assert qp["lb"].shape == (mission.qn, 3, D)
     assert qp["Aeq"].shape[1] == D
     assert qp["pair_n"].shape[0] >= 1
+
+
+def test_animate_swarm_smoke(tmp_path):
+    """viz.animate_swarm writes a parseable GIF (playback stand-in for
+    rbp_publisher.hpp:93-127)."""
+    import numpy as np
+
+    from swarm_simulator_tpu.io.viz import animate_swarm
+
+    ts = np.linspace(0.0, 1.0, 21)
+    th = np.linspace(0, np.pi, 21)
+    pos = np.stack([
+        np.stack([np.cos(th), np.sin(th), np.ones_like(th)], axis=1),
+        np.stack([-np.cos(th), -np.sin(th), np.ones_like(th)], axis=1),
+    ])
+    out = tmp_path / "playback.gif"
+    animate_swarm(ts, pos, np.array([0.15, 0.15]), path=str(out), fps=10)
+    data = out.read_bytes()
+    assert data[:6] in (b"GIF87a", b"GIF89a") and len(data) > 1000
