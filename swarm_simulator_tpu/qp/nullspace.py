@@ -209,6 +209,47 @@ def _apply_Qseg(Qseg: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     return out.reshape(shape)
 
 
+def _inv_spd_np(S):
+    """Inverse of a symmetric positive-definite matrix via Cholesky
+    (LAPACK potrf+potri: ~2n^3/3 FLOPs vs ~2n^3 for LU inv), falling
+    back to LU if the factorization fails.  The KKT pivot blocks are
+    Schur complements of an SPD matrix, so potrf succeeds in practice;
+    the fallback guards degenerate test problems."""
+    import numpy as onp
+    from scipy.linalg.lapack import dpotrf, dpotri
+
+    c, info = dpotrf(S, lower=1, overwrite_a=0)
+    if info != 0:
+        return onp.linalg.inv(S)
+    x, info = dpotri(c, lower=1, overwrite_c=1)
+    if info != 0:
+        return onp.linalg.inv(S)
+    # potri fills the lower triangle only
+    return x + onp.tril(x, -1).T
+
+
+class _blas_single_threaded:
+    """Pin BLAS pools to one thread for the scope (no-op without
+    threadpoolctl).  Measured on this 4-core host: OpenBLAS's own
+    threading LOSES by 30-100x at the prep block sizes (576^2 LU inv:
+    27.7 ms at 1 thread, 890 ms at 4 — spin contention), and the rung
+    thread pool multiplies the oversubscription.  One BLAS thread per
+    rung worker is the fast configuration."""
+
+    def __enter__(self):
+        try:
+            from threadpoolctl import threadpool_limits
+            self._ctx = threadpool_limits(limits=1)
+        except Exception:
+            self._ctx = None
+        return self
+
+    def __exit__(self, *exc):
+        if self._ctx is not None:
+            self._ctx.__exit__(*exc)
+        return False
+
+
 def prepare_ns_np(data: QPData, s: NSSettings) -> NSOp:
     """Host float64 twin of prepare_ns (numpy), leaves cast to the
     problem dtype at the end.
@@ -274,6 +315,10 @@ def prepare_ns_np(data: QPData, s: NSSettings) -> NSOp:
     else:
         ladder = onp.asarray([s.rho], onp.float64)
 
+    from concurrent.futures import ThreadPoolExecutor
+    import os
+    n_workers = min(4, os.cpu_count() or 1)
+
     # pair coupling [M, B3, B3] (f64 twin of admm._build_coupling)
     pm = onp.asarray(data.pair_mask, onp.float64)
     bi = onp.asarray(data.pair_bi)
@@ -286,16 +331,26 @@ def prepare_ns_np(data: QPData, s: NSSettings) -> NSOp:
     onp.add.at(Cp, (onp.arange(P), onp.clip(bi, 0, None)),
                -((bi >= 0) * pm))
     C = onp.zeros((M, B3, B3))
-    for m in range(M):
+
+    def fill_C(m):
+        # one dgemm per segment, threaded across segments (at 256
+        # agents this is ~1.5e12 f64 FLOPs — the second-largest prep
+        # cost after the rung inversions)
         A = (Cp[:, :, None] * pn[:, None, m, :]).reshape(P, B3)
         C[m] = A.T @ A
+
+    with _blas_single_threaded():
+        with ThreadPoolExecutor(max_workers=n_workers) as ex:
+            list(ex.map(fill_C, range(M)))
 
     def finish(**kw):
         # leaves stay HOST numpy (cast once to the problem dtype): the
         # caller decides when/where to transfer — on a tunneled remote
-        # backend the one bulk device_put is the only affordable shape
+        # backend the one bulk device_put is the only affordable shape.
+        # copy=False: Dinvs is already stored in dt_ (multi-GB at 256
+        # agents — a redundant astype copy doubled peak RSS)
         cast = {k: (None if v is None else
-                    onp.asarray(v).astype(dt_))
+                    onp.asarray(v).astype(dt_, copy=False))
                 for k, v in kw.items()}
         return NSOp(N=cast["N"], x_pin=cast["x_pin"], g=cast["g"],
                     F0=cast["F0"], FT=cast["FT"], c_s=cast["c_s"],
@@ -315,7 +370,11 @@ def prepare_ns_np(data: QPData, s: NSSettings) -> NSOp:
         eyeB3 = onp.eye(B3)
 
         def kron_b(Cb, Wb):
-            out = onp.einsum("...ij,...ab->...iajb", Cb, Wb)
+            # pure outer product: broadcast-multiply (the einsum
+            # "...ij,...ab->...iajb" form takes np.einsum's naive
+            # un-blocked C loop — measured 14.6 s at 64 agents for what
+            # is a vectorized multiply)
+            out = Cb[..., :, None, :, None] * Wb[..., None, :, None, :]
             return out.reshape(out.shape[:-4] + (bs, bs))
 
         sigI = s.sigma * onp.eye(phi)
@@ -323,33 +382,52 @@ def prepare_ns_np(data: QPData, s: NSSettings) -> NSOp:
         rho_d = kron_b(onp.repeat(eyeB3[None], Mi, 0), NtN_k) \
             + kron_b(C[1:M], WL[1:M]) + kron_b(C[0:M - 1], WR[0:M - 1])
 
-        Dinvs = onp.zeros((len(ladder), Mi, bs, bs))
+        # pivot inventory stored directly in the problem dtype (the
+        # chain itself stays f64): at 256 agents the f64 inventory is
+        # 13.4 GB — storing rounded blocks halves peak RSS
+        Dinvs = onp.zeros((len(ladder), Mi, bs, bs), dtype=dt_)
+        sand_path = None  # einsum contraction path, computed once
 
         def fill_rung(r):
-            # rungs are independent; LAPACK inv/einsum release the GIL,
-            # so a thread pool parallelizes the dominant cost (256
-            # agents: 34 min single-threaded).  Kd is formed per KNOT so
-            # each thread's transient is one [bs, bs] block, not the
-            # full [Mi, bs, bs] operand (~1.3 GB f64 per thread at 256
-            # agents)
+            # rungs are independent; LAPACK/BLAS release the GIL, so a
+            # thread pool parallelizes the dominant cost — with BLAS
+            # pinned to ONE thread per worker (_blas_single_threaded:
+            # OpenBLAS's own threading loses by 30x+ here and the pool
+            # multiplied the oversubscription; 64-agent prep measured
+            # 243 s before this configuration, ~3 s after).  Kd is
+            # formed per KNOT so each thread's transient is one
+            # [bs, bs] block, not the full [Mi, bs, bs] operand
+            nonlocal sand_path
             rho = ladder[r]
-            Dprev = onp.linalg.inv(base_d[0] + rho * rho_d[0])
-            Dinvs[r, 0] = Dprev
+            Dprev = _inv_spd_np(base_d[0] + rho * rho_d[0])
+            Dinvs[r, 0] = 0.5 * (Dprev + Dprev.T)
             for k in range(1, Mi):
                 Dr = Dprev.reshape(B3, phi, B3, phi)
+                # optimize=: route the sandwich through two BLAS
+                # tensordots (the single naive c_einsum call measured
+                # 0.12 s vs ~1 ms as matmuls)
+                if sand_path is None:
+                    sand_path = onp.einsum_path(
+                        "ai,xayb,bj->xiyj", Ho[k - 1], Dr, Ho[k - 1],
+                        optimize="optimal")[0]
                 sand = onp.einsum("ai,xayb,bj->xiyj", Ho[k - 1], Dr,
-                                  Ho[k - 1]).reshape(bs, bs)
-                Dprev = onp.linalg.inv(base_d[k] + rho * rho_d[k]
-                                       - sand)
-                Dinvs[r, k] = Dprev
+                                  Ho[k - 1],
+                                  optimize=sand_path).reshape(bs, bs)
+                Dprev = _inv_spd_np(base_d[k] + rho * rho_d[k]
+                                    - sand)
+                # the pivots are inverses of SPD Schur complements —
+                # symmetrize (in f64, before the dtype rounding) so
+                # row-vector matvecs (v @ Dinv, the Pallas Thomas
+                # kernel's layout) are exactly the column form
+                Dinvs[r, k] = 0.5 * (Dprev + Dprev.T)
 
-        from concurrent.futures import ThreadPoolExecutor
-        with ThreadPoolExecutor(max_workers=min(len(ladder), 4)) as ex:
-            list(ex.map(fill_rung, range(len(ladder))))
-        # the pivots are inverses of SPD Schur complements — symmetrize
-        # so row-vector matvecs (v @ Dinv, the Pallas Thomas kernel's
-        # layout) are exactly the column form
-        Dinvs = 0.5 * (Dinvs + Dinvs.transpose(0, 1, 3, 2))
+        # one worker per core, not per rung: 9 concurrent chains thrash
+        # the shared cache (measured 10.2-13.4 s vs 9.3-10.3 s at 64
+        # agents on 4 cores)
+        with _blas_single_threaded():
+            with ThreadPoolExecutor(
+                    max_workers=min(len(ladder), n_workers)) as ex:
+                list(ex.map(fill_rung, range(len(ladder))))
         if s.thomas_kernel and Mi > 1:
             # the kernel assumes a CONSTANT off-diagonal block (I (x)
             # Ho[0]); non-uniform segment durations would make it
@@ -377,9 +455,82 @@ def prepare_ns_np(data: QPData, s: NSSettings) -> NSOp:
     K0 = K0.reshape(nx, nx)
     K1 = K1.reshape(nx, nx)
     Ks = K0[None] + ladder[:, None, None] * K1[None]
-    Kinvs = onp.linalg.inv(Ks)
+    Kinvs = onp.empty_like(Ks)
+
+    def fill_kinv(r):
+        Kinvs[r] = _inv_spd_np(Ks[r])
+
+    with _blas_single_threaded():
+        with ThreadPoolExecutor(max_workers=n_workers) as ex:
+            list(ex.map(fill_kinv, range(len(ladder))))
     return finish(N=N, x_pin=x_pin, g=g, F0=F0, FT=FT, c_s=c_s,
                   ladder=ladder, Kinvs=Kinvs, Dinvs=None, Kos=None)
+
+
+def refresh_ns_op_np(op: NSOp, data: QPData) -> NSOp:
+    """Cheap host refresh of the endpoint-dependent NSOp leaves (x_pin,
+    g) for a REPLAN that keeps the time grid (same M, dt — asserted via
+    F0) and reuses the prepared KKT rung inventory (Dinvs/Kinvs).
+
+    The rung inventory embeds the previous corridors' pair-normal
+    coupling (C = A^T A of the separating directions, the expensive
+    host-f64 prep), so solving fresh data with it is an inexact-metric
+    ADMM: the constraint projections and dual updates use the FRESH
+    normals/bounds — only the w-update metric is stale.  Measured
+    (tools/staleop_study.py, 5 forest seeds): after an RSFC refresh from
+    the previous solution the stale-operator replan passes the full
+    acceptance gate, so the reference's outer corridor iteration
+    (rbp_planner.hpp:140-204) costs no re-prep here.
+
+    op must be host-resident (numpy leaves, as returned by
+    prepare_ns_np); milliseconds of work.
+    """
+    import numpy as onp
+
+    if data.dt is None:
+        raise ValueError("QPData.dt required for the knot-state solver")
+    M, npp, _ = onp.asarray(data.Qseg).shape
+    n = npp - 1
+    phi = onp.asarray(data.Aeq).shape[0] // (M + 1)
+    lb = onp.asarray(data.lb)
+    B = lb.shape[0]
+    dt_ = lb.dtype
+
+    from .ipm import _knot_maps_np
+    L, R, F0, FT = _knot_maps_np(onp.asarray(data.dt), n, phi)
+    if (onp.asarray(op.F0).shape != F0.shape
+            or not onp.allclose(onp.asarray(op.F0, onp.float64), F0,
+                                rtol=1e-5, atol=1e-8)):
+        raise ValueError(
+            "refresh_ns_op_np: time grid changed (F0 mismatch) — the "
+            "KKT rung inventory is tied to dt/M; re-run prepare_ns_np")
+    if onp.asarray(op.x_pin).shape[0] != B:
+        raise ValueError("refresh_ns_op_np: agent count changed")
+
+    D = M * npp
+    Mi = M - 1
+    N = onp.zeros((M, npp, Mi, phi))
+    if Mi:
+        for m in range(1, M):
+            N[m, :phi, m - 1, :] = L[m]
+            N[m - 1, phi:, m - 1, :] = R[m - 1]
+    N = N.reshape(D, Mi * phi)
+
+    deq = onp.asarray(data.deq, onp.float64)
+    s_all = onp.zeros((B, 3, M + 1, phi))
+    s_all[:, :, 0, :] = deq[:, :, :phi]
+    s_all[:, :, M, :] = deq[:, :, phi:2 * phi]
+    left = onp.einsum("mij,bkmj->bkmi", L, s_all[:, :, :M])
+    right = onp.einsum("mij,bkmj->bkmi", R, s_all[:, :, 1:])
+    x_pin = onp.concatenate([left, right], axis=-1).reshape(B, 3, D)
+
+    Qseg = onp.asarray(data.Qseg, onp.float64)
+    vs = x_pin.reshape(B, 3, M, npp)
+    Qx = onp.einsum("mij,bkmj->bkmi", Qseg, vs).reshape(B, 3, D)
+    c_s = float(onp.asarray(op.c_s, onp.float64))
+    g = c_s * onp.einsum("da,bkd->bka", N, Qx)
+
+    return op._replace(x_pin=x_pin.astype(dt_), g=g.astype(dt_))
 
 
 def prepare_ns(data: QPData, s: NSSettings) -> NSOp:

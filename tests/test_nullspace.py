@@ -204,3 +204,41 @@ def test_thomas_kernel_guards():
     with pytest.raises(ValueError, match="lane-padded"):
         nullspace.make_kinv_apply(op_xla, 3, 3, 5, 3,
                                   thomas_kernel=True)
+
+
+def test_refresh_ns_op_np():
+    """Stale-operator replan support: refresh_ns_op_np must reproduce a
+    full prepare_ns_np's endpoint-dependent leaves exactly (same time
+    grid), share the rung inventory by reference, and reject a changed
+    time grid."""
+    import dataclasses
+
+    import pytest
+
+    from swarm_simulator_tpu.qp import nullspace
+
+    data, _ = _data(n_agents=3, M=5)
+    s = nullspace.NSSettings(kkt_mode="banded", n_rungs=3)
+    op = nullspace.prepare_ns_np(data, s)
+
+    # identity refresh: exact reproduction
+    op_r = nullspace.refresh_ns_op_np(op, data)
+    assert np.allclose(op_r.x_pin, op.x_pin, atol=1e-12)
+    assert np.allclose(op_r.g, op.g, atol=1e-12)
+    assert op_r.Dinvs is op.Dinvs
+
+    # perturbed endpoints (a replan toward shifted goals): the refresh
+    # must equal a full re-prep of the perturbed problem in x_pin/g
+    deq = np.asarray(data.deq).copy()
+    deq[:, :, 3] += 0.05          # goal positions (phi=3: orders 0..2)
+    data2 = dataclasses.replace(data, deq=deq)
+    op_r2 = nullspace.refresh_ns_op_np(op, data2)
+    op_f2 = nullspace.prepare_ns_np(data2, s)
+    assert np.allclose(op_r2.x_pin, op_f2.x_pin, atol=1e-10)
+    assert np.allclose(op_r2.g, op_f2.g, atol=1e-10)
+    assert np.allclose(op_r2.Dinvs, op_f2.Dinvs, rtol=1e-6, atol=1e-9)
+
+    # changed time grid: the inventory is tied to dt/M -> must raise
+    data3 = dataclasses.replace(data, dt=np.asarray(data.dt) * 1.1)
+    with pytest.raises(ValueError, match="time grid"):
+        nullspace.refresh_ns_op_np(op, data3)

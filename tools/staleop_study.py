@@ -1,0 +1,148 @@
+"""Stale-operator replan study: outer RSFC iteration without re-prep.
+
+The reference's outer iteration (rbp_planner.hpp:140-204) rebuilds the
+relative corridors from the latest trajectories and re-solves.  In the
+joint TPU path the expensive host-f64 KKT rung inventory (prepare_ns_np)
+embeds the pair-normal coupling C = A^T A, so a corridor refresh
+nominally invalidates it.  This study measures whether a replan can keep
+the STALE inventory (refresh_ns_op_np: only x_pin/g recomputed — an
+inexact-metric ADMM where projections and duals use the fresh normals)
+and still pass the full acceptance gate:
+
+  cycle 0: corridors from the initial trajectories, full prep, solve
+  refresh: RSFC normals rebuilt from the cycle-0 solution, dummy/warm
+           start = cycle-0 solution
+  cycle 1 (stale):  solve with the cycle-0 inventory    <- candidate
+  cycle 1 (fresh):  solve with a full re-prep           <- control
+
+Also sweeps a SHORTER replan schedule: warm-started from a near-optimal
+solution, the replan may not need the full (200, 600, 100) budget.
+
+CPU (algorithmic study; same flow as tools/schedule_study.py).
+
+Usage: python tools/staleop_study.py [--seeds 0,1,2,3,4]
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+REPLAN_SCHEDULES = [(200, 600, 100), (100, 300, 60)]
+
+
+def knots_from_ctrl(ctrl: np.ndarray) -> np.ndarray:
+    """[N, M, n+1, 3] control points -> [N, M+1, 3] knot positions."""
+    return np.concatenate([ctrl[:, :, 0, :], ctrl[:, -1:, -1, :]], axis=1)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seeds", default="0,1,2,3,4")
+    ap.add_argument("--tpu", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    if not args.tpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    sys.path.insert(0, ".")
+    from bench import (assemble_joint, batch0_objective, build_problem,
+                       gate_quality, ipm_best_response_batch0, ns_settings)
+
+    from swarm_simulator_tpu.corridor.rsfc import build_rsfc
+    from swarm_simulator_tpu.qp import assemble, nullspace
+
+    base = ns_settings()
+
+    def phases(b1, b2, b3):
+        return (dataclasses.replace(base, max_iter=b1, rho_lo=1e-3),
+                dataclasses.replace(base, max_iter=b2),
+                dataclasses.replace(base, max_iter=b3, rho_lo=1e-2))
+
+    def solve(data, op, sched):
+        ph = phases(*sched)
+
+        @jax.jit
+        def go(dd, oo):
+            return nullspace.solve_ns_phases(dd, ph, op=oo)
+
+        t0 = time.perf_counter()
+        x, info = go(jax.tree.map(jnp.asarray, data), jax.device_put(op))
+        x = np.asarray(x, np.float64)
+        return x, time.perf_counter() - t0
+
+    def judge(x, plan, mission, param, tag):
+        B = mission.qn
+        ctrl = x.transpose(0, 2, 1).reshape(B, plan.M, param.n + 1, 3)
+        obj_b0, _ = batch0_objective(ctrl, plan, mission, param)
+        obj_ref, _ = ipm_best_response_batch0(plan, mission, param, ctrl)
+        ok, m = gate_quality(ctrl, plan, mission, param, obj_ref, obj_b0)
+        log(f"  {tag}: gate={'OK' if ok else 'FAIL'} "
+            f"margin={obj_b0 / obj_ref:.3f} ratio={m['ratio']:.4f} "
+            f"box={m['box_viol']:.1e}")
+        return ctrl, ok, obj_b0 / obj_ref
+
+    results = {}
+    for seed in [int(s) for s in args.seeds.split(",")]:
+        plan, mission, param = build_problem(seed)
+        data0, _ = assemble_joint(plan, mission, param)
+        t0 = time.perf_counter()
+        op0 = nullspace.prepare_ns_np(data0, base)
+        prep_s = time.perf_counter() - t0
+        x0, dt0 = solve(data0, op0, REPLAN_SCHEDULES[0])
+        log(f"seed {seed}: prep {prep_s:.1f}s solve {dt0:.0f}s")
+        ctrl0, ok0, m0 = judge(x0, plan, mission, param, "cycle0")
+
+        # ---- corridor refresh from the solution ----
+        knots = knots_from_ctrl(ctrl0)
+        _, normals = build_rsfc(knots, param.downwash)
+        plan.pair_normals = np.asarray(normals, np.float64)
+        dummy1 = ctrl0  # [N, M, n+1, 3]
+        data1 = assemble.assemble_batch(plan, mission, param,
+                                        np.arange(mission.qn), dummy1,
+                                        device=False)
+
+        t0 = time.perf_counter()
+        op_stale = nullspace.refresh_ns_op_np(op0, data1)
+        refresh_s = time.perf_counter() - t0
+        log(f"seed {seed}: stale-op refresh {refresh_s * 1e3:.0f}ms "
+            f"(vs {prep_s:.1f}s full prep)")
+
+        row = dict(prep_s=prep_s, refresh_s=refresh_s, cycle0=(ok0, m0))
+        for sched in REPLAN_SCHEDULES:
+            xs, dts = solve(data1, op_stale, sched)
+            _, ok_s, m_s = judge(xs, plan, mission, param,
+                                 f"replan-stale {sched}")
+            row[("stale",) + sched] = (ok_s, m_s)
+        op1 = nullspace.prepare_ns_np(data1, base)
+        xf, dtf = solve(data1, op1, REPLAN_SCHEDULES[0])
+        _, ok_f, m_f = judge(xf, plan, mission, param,
+                             f"replan-fresh {REPLAN_SCHEDULES[0]}")
+        row[("fresh",) + REPLAN_SCHEDULES[0]] = (ok_f, m_f)
+        results[seed] = row
+
+    log("\nsummary (gate, objective margin vs best-response IPM):")
+    for seed, row in results.items():
+        cells = " ".join(
+            f"{k if isinstance(k, str) else '/'.join(map(str, k))}="
+            f"{'OK' if v[0] else 'FAIL'}:{v[1]:.3f}"
+            for k, v in row.items() if isinstance(v, tuple))
+        log(f"  seed {seed}: prep {row['prep_s']:.1f}s "
+            f"refresh {row['refresh_s'] * 1e3:.0f}ms  {cells}")
+
+
+if __name__ == "__main__":
+    main()
