@@ -64,6 +64,12 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--iteration", type=int, default=1)
     p.add_argument("--parallel-mode", choices=["gauss-seidel", "jacobi"],
                    default="gauss-seidel")
+    p.add_argument("--solver", choices=["admm", "nullspace"],
+                   default="admm",
+                   help="admm: per-batch solver/sweeps; nullspace: the "
+                        "production JOINT whole-swarm path (qp/joint.py, "
+                        "host-f64 prep + banded-KKT knot-state ADMM); "
+                        "--iteration N>1 = outer corridor replans")
     p.add_argument("--dtype", choices=["float32", "float64"],
                    default="float32")
     p.add_argument("--max-iter", type=int, default=2000)
@@ -117,6 +123,7 @@ def main(argv=None) -> int:
         param = _dc.replace(
             pp.param, solver_dtype=args.dtype,
             solver_max_iter=args.max_iter, log=args.log,
+            solver=args.solver, iteration=args.iteration,
             corridor_mode="flat" if args.flat else pp.param.corridor_mode)
     else:
         param = sst.Param(
@@ -130,6 +137,7 @@ def main(argv=None) -> int:
         downwash=args.downwash, sequential=args.sequential,
         batch_size=args.batch_size, batch_iter=args.batch_iter,
         iteration=args.iteration, parallel_mode=args.parallel_mode,
+        solver=args.solver,
         corridor_mode="flat" if args.flat else "rbp",
         solver_dtype=args.dtype, solver_max_iter=args.max_iter,
         log=args.log,

@@ -89,6 +89,12 @@ class Param:
     solver_eps_dual: Optional[float] = None
     solver_adaptive_rho: bool = False
     parallel_mode: str = "gauss-seidel"  # or "jacobi" (batches in parallel)
+    # "admm": per-batch ADMM / device sweeps (parallel/seqbatch.py).
+    # "nullspace": the production JOINT path — whole-swarm QP via the
+    # knot-state banded-KKT ADMM with host-f64 prep (qp/joint.py);
+    # ignores sequential/batch_size, honors iteration as outer corridor
+    # replans on the stale prepared operator
+    solver: str = "admm"
 
     @property
     def world_min(self) -> np.ndarray:

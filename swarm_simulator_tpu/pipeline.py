@@ -41,6 +41,7 @@ def plan(
     *,
     settings: admm.ADMMSettings | None = None,
     search_backend: str = "auto",
+    ns_phases: tuple | None = None,
 ) -> tuple[PlanResult, StageTimes]:
     times = StageTimes()
     t_all = time.perf_counter()
@@ -67,7 +68,12 @@ def plan(
     times.corridor = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    seqbatch.solve_trajectories(result, mission, param, settings)
+    if param.solver == "nullspace":
+        from .qp import joint
+        joint.solve_trajectories(result, mission, param, phases=ns_phases)
+        times.extra["ns_prep"] = result.solver_info["prep_s"]
+    else:
+        seqbatch.solve_trajectories(result, mission, param, settings)
     times.qp = time.perf_counter() - t0
 
     if param.time_scale:

@@ -1,0 +1,175 @@
+"""Joint all-agent trajectory optimization: the production TPU path.
+
+Where the reference decomposes the swarm QP into sequential CPLEX
+batches with dummy coupling (rbp_planner.hpp:140-204), the TPU path
+solves the WHOLE swarm as ONE QP — every SFC box and every RSFC pair
+constraint simultaneously active — via the knot-state ADMM over the
+block-tridiagonal banded KKT (qp/nullspace.py, kkt_mode="banded").
+This removes the sequential path's stale-coupling consensus error
+(measured 82x in objective at 256 agents) and is the benchmark
+headline path (bench.py).
+
+The recipe:
+  1. assemble the joint QP on host (one bulk device transfer),
+  2. host-f64 KKT rung inventory (prepare_ns_np), rounded once to f32,
+  3. phased rho schedule (feasibility -> polish -> restore) on device.
+
+Outer corridor iteration (replans): the reference's outer loop
+re-solves with refreshed coupling (rbp_planner.hpp:140); here a replan
+rebuilds the RSFC normals from the previous solution and re-solves
+WITHOUT re-running the expensive prep — refresh_ns_op_np recomputes
+the endpoint-dependent leaves in milliseconds and NSSettings.kkt_refine
+(preconditioned-CG w-updates against the fresh constraints) absorbs
+the stale inventory metric (tools/staleop_study.py).
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+
+import jax
+import numpy as np
+
+from ..core.types import Mission, Param, PlanResult
+from . import assemble, convert, nullspace
+
+#: phase budgets tuned on the canonical 64-agent forest
+#: (tools/schedule_study.py: (200, 600, 100) passes ten forest seeds;
+#: shorter schedules fail seeds 4/8 — see bench.py ns_phases)
+PRODUCTION_BUDGETS = (200, 600, 100)
+
+
+def production_settings(max_iter: int = 1500,
+                        check_every: int = 50) -> nullspace.NSSettings:
+    """The production joint-solver settings (bench.py's gate-passing
+    configuration): banded KKT, 9-rung rho ladder, tighten margin for
+    first-order residual infeasibility at the strict ratio >= 1 gate."""
+    return nullspace.NSSettings(
+        max_iter=max_iter, check_every=check_every,
+        eps_abs=2e-4, eps_rel=2e-4, eps_dual_abs=5e-3, tighten=2e-3,
+        warm_start="x0", kkt_mode="banded", rho_min=1e-5, n_rungs=9)
+
+
+def production_phases(budgets: tuple[int, int, int] = PRODUCTION_BUDGETS,
+                      base: nullspace.NSSettings | None = None,
+                      kkt_refine: int = 0,
+                      ) -> tuple[nullspace.NSSettings, ...]:
+    """Phased rho schedule: feasibility-first (low rungs fenced out) ->
+    objective polish (unfenced) -> feasibility restore (fenced high)."""
+    b = base if base is not None else production_settings()
+    b = dataclasses.replace(b, kkt_refine=kkt_refine)
+    return (dataclasses.replace(b, max_iter=budgets[0], rho_lo=1e-3),
+            dataclasses.replace(b, max_iter=budgets[1]),
+            dataclasses.replace(b, max_iter=budgets[2], rho_lo=1e-2))
+
+
+def assemble_joint(plan: PlanResult, mission: Mission, param: Param,
+                   dummy: np.ndarray | None = None):
+    """The joint all-agent QP as host numpy (one bulk device transfer
+    later).  dummy (the warm start, build_dummy's initTraj midpoint
+    interpolation by default — rbp_planner.hpp:513-549) also seeds
+    x0."""
+    if dummy is None:
+        dummy = assemble.build_dummy(plan.init_traj, param.n, plan.M)
+    data = assemble.assemble_batch(plan, mission, param,
+                                   np.arange(mission.qn), dummy,
+                                   device=False)
+    return data, dummy
+
+
+@partial(jax.jit, static_argnames=("phases",))
+def _solve_phases_jit(data, op, phases):
+    """Each distinct phase schedule compiles once per process; replan
+    rounds and repeated solves reuse the executable."""
+    return nullspace.solve_ns_phases(data, phases, op=op)
+
+
+def solve_trajectories(plan: PlanResult, mission: Mission, param: Param,
+                       phases: tuple[nullspace.NSSettings, ...] | None = None,
+                       replan_budgets: tuple[int, int, int] | None = None,
+                       replan_prep: str = "fresh",
+                       ) -> PlanResult:
+    """Pipeline entry for Param.solver == "nullspace": fills plan.ctrl /
+    plan.coef / plan.solver_info like seqbatch.solve_trajectories.
+
+    param.iteration > 1 runs the outer corridor iteration: each extra
+    round rebuilds the RSFC separating planes from the PREVIOUS round's
+    trajectories (tighter coupling than the initTraj planes, the joint
+    analog of the reference's dummy refresh, rbp_planner.hpp:140-204)
+    and re-solves warm-started from that round's solution.
+
+    replan_prep: "fresh" re-runs the host-f64 KKT prep each round — the
+    gate-passing mode (tools/staleop_study.py: a full RSFC refresh
+    rotates the pair coupling too far for the stale inventory; the
+    stale replan fails the gate even with kkt_refine PCG steps).
+    "stale" reuses the round-0 inventory via refresh_ns_op_np +
+    kkt_refine=1 — milliseconds instead of seconds of prep, only safe
+    for SMALL corridor perturbations; exact for endpoint-only replans
+    (where the constraint set is unchanged).
+    """
+    import jax.numpy as jnp
+
+    from ..corridor.rsfc import build_rsfc
+
+    if phases is None:
+        phases = production_phases()
+    n, M, N = param.n, plan.M, mission.qn
+
+    data, dummy = assemble_joint(plan, mission, param)
+    t0 = time.perf_counter()
+    op = nullspace.prepare_ns_np(data, phases[0])   # host f64, once
+    prep_s = time.perf_counter() - t0
+
+    def run(data_h, op_h, ph):
+        x, info = _solve_phases_jit(jax.tree.map(jnp.asarray, data_h),
+                                    jax.device_put(op_h), phases=ph)
+        x = np.asarray(x, dtype=np.float64)
+        return x.transpose(0, 2, 1).reshape(N, M, n + 1, 3), info
+
+    ctrl, info = run(data, op, phases)
+
+    if param.iteration > 1:
+        # replan phases compile once and are reused across rounds
+        rb = replan_budgets if replan_budgets is not None else \
+            tuple(s.max_iter for s in phases)
+        rphases = production_phases(
+            rb, base=phases[1],
+            kkt_refine=1 if replan_prep == "stale" else 0)
+        for _ in range(param.iteration - 1):
+            knots = np.concatenate(
+                [ctrl[:, :, 0, :], ctrl[:, -1:, -1, :]], axis=1)
+            pair_idx, normals = build_rsfc(knots, param.downwash)
+            assert np.array_equal(pair_idx, np.asarray(plan.pair_idx))
+            plan.pair_normals = np.asarray(normals, np.float64)
+            data, _ = assemble_joint(plan, mission, param, dummy=ctrl)
+            if replan_prep == "stale":
+                op = nullspace.refresh_ns_op_np(op, data)  # milliseconds
+            else:
+                t0 = time.perf_counter()
+                op = nullspace.prepare_ns_np(data, rphases[0])
+                prep_s += time.perf_counter() - t0
+            ctrl, info = run(data, op, rphases)
+
+    plan.ctrl = ctrl
+    plan.coef = convert.ctrl_to_coef(ctrl, plan.T, n)
+
+    from ..utils.timing import ProblemSize
+    psize = ProblemSize.of_batch(N, M, n, param.phi,
+                                 len(np.asarray(plan.pair_idx)))
+    if param.log:
+        print(psize)
+        from pathlib import Path
+        Path("log").mkdir(exist_ok=True)
+        assemble.export_qp_npz("log/qp_joint.npz", data)
+    plan.solver_info = {
+        "iters": [int(np.asarray(info.iters))],
+        "r_prim": [float(np.asarray(info.r_prim))],
+        "r_dual": [float(np.asarray(info.r_dual))],
+        "obj": [float(np.asarray(info.obj))],
+        "mode": "joint-nullspace",
+        "solved": np.ones(N, dtype=bool),
+        "prep_s": prep_s,
+        "problem_size": str(psize),
+    }
+    return plan

@@ -126,6 +126,21 @@ class NSSettings:
     # satisfied as long as the solve's violation stays below it (CPLEX
     # needs no margin because it solves to 1e-9, rbp_planner.hpp:158)
     tighten: float = 0.0
+    # Preconditioned-CG refinement steps on the w-update against the
+    # FRESH KKT operator (applied matrix-free from the problem data),
+    # with the prepared rung inventory as preconditioner.  0 = trust
+    # the inventory (exact when it was prepared for this data).  For
+    # STALE-OPERATOR replans (inventory prepared for different pair
+    # normals) each step contracts the w-update error toward the fresh
+    # solve — PCG, not Richardson, because the stale-preconditioned
+    # spectrum exceeds 2 once normals rotate (Richardson NaN'd; PCG
+    # converges for any SPD (P, K) pair).  Measured on the 64-agent
+    # forest FULL RSFC refresh (tools/staleop_study.py): box violation
+    # 17 m (refine 0) -> 1.4 (1) -> 0.36 (2) — monotone but the full
+    # refresh stays out of gate reach at practical step counts; use
+    # fresh prep there.  Each step costs one extra inventory stream +
+    # one fresh-constraint apply.
+    kkt_refine: int = 0
 
 
 class NSConstr(NamedTuple):
@@ -476,11 +491,14 @@ def refresh_ns_op_np(op: NSOp, data: QPData) -> NSOp:
     coupling (C = A^T A of the separating directions, the expensive
     host-f64 prep), so solving fresh data with it is an inexact-metric
     ADMM: the constraint projections and dual updates use the FRESH
-    normals/bounds — only the w-update metric is stale.  Measured
-    (tools/staleop_study.py, 5 forest seeds): after an RSFC refresh from
-    the previous solution the stale-operator replan passes the full
-    acceptance gate, so the reference's outer corridor iteration
-    (rbp_planner.hpp:140-204) costs no re-prep here.
+    normals/bounds — only the w-update metric is stale.  VALIDITY
+    (measured, tools/staleop_study.py): exact for endpoint-only and
+    SFC-bound-only replans (neither enters the inventory).  A FULL
+    RSFC refresh from the previous solution rotates the coupling too
+    far: the stale replan fails the acceptance gate (box violation
+    17 m naive; still 0.36 m with kkt_refine=2 PCG w-updates; rho
+    fencing does not save it) — corridor-refresh replans must re-run
+    prepare_ns_np (qp/joint.py replan_prep="fresh", the default).
 
     op must be host-resident (numpy leaves, as returned by
     prepare_ns_np); milliseconds of work.
@@ -835,6 +853,17 @@ def _iterate_ns(data: QPData, op: NSOp, s: NSSettings, init=None,
     kinv_apply = make_kinv_apply(op, B, K3, M, phi,
                                  thomas_kernel=s.thomas_kernel)
 
+    def K_fresh(v, rho_s):
+        # matrix-free apply of the CURRENT problem's KKT operator
+        # K(rho) v = sigma v + c_s N^T Q N v + rho N^T (A^T A) N v —
+        # the same system the prepared inventory factorizes (see
+        # prepare_ns K0/K1), but built from the FRESH normals/data
+        x_v = jnp.einsum("da,bka->bkd", op.N, v)
+        qx = op.c_s * _apply_Qseg(data.Qseg, x_v)
+        aax = _AT_x(data, _A_x(data, x_v, pop), pop)
+        return sigma * v + jnp.einsum("da,bkd->bka", op.N,
+                                      qx + rho_s * aax)
+
     def admm_step(carry, _):
         w, z, y, rho_idx = carry
         rho_s = op.ladder[rho_idx]
@@ -842,6 +871,25 @@ def _iterate_ns(data: QPData, op: NSOp, s: NSSettings, init=None,
         rhs_w = sigma * w - op.g + jnp.einsum(
             "da,bkd->bka", op.N, _AT_x(data, rhs_x, pop))
         w_t = kinv_apply(rho_idx, rhs_w)
+        if s.kkt_refine:
+            # PCG on K_fresh w = rhs_w, preconditioner = the prepared
+            # rung inventory, initial guess = the plain inventory solve
+            # above.  tiny guards: at exact convergence (fresh op) the
+            # residual is ~0 and the unguarded steps are 0/0
+            tiny = jnp.asarray(1e-30, dt_)
+            r_c = rhs_w - K_fresh(w_t, rho_s)
+            z_c = kinv_apply(rho_idx, r_c)
+            p_c = z_c
+            rz = jnp.vdot(r_c, z_c)
+            for _ in range(s.kkt_refine):
+                Kp = K_fresh(p_c, rho_s)
+                a_c = rz / jnp.maximum(jnp.vdot(p_c, Kp), tiny)
+                w_t = w_t + a_c * p_c
+                r_c = r_c - a_c * Kp
+                z_c = kinv_apply(rho_idx, r_c)
+                rz_new = jnp.vdot(r_c, z_c)
+                p_c = z_c + (rz_new / jnp.maximum(rz, tiny)) * p_c
+                rz = rz_new
         x_t = _x_of(op, w_t)
         ax_t = _A_x(data, x_t, pop)
         w_new = alpha * w_t + (1 - alpha) * w

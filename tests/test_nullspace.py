@@ -242,3 +242,21 @@ def test_refresh_ns_op_np():
     data3 = dataclasses.replace(data, dt=np.asarray(data.dt) * 1.1)
     with pytest.raises(ValueError, match="time grid"):
         nullspace.refresh_ns_op_np(op, data3)
+
+
+def test_kkt_refine_noop_on_fresh_op():
+    """kkt_refine Richardson steps re-anchor the w-update to the FRESH
+    constraint data; when the inventory was prepared for this very data
+    the matrix-free K apply and the factorized system are the same
+    matrix, so refinement must be a numerical no-op."""
+    import dataclasses
+
+    from swarm_simulator_tpu.qp import nullspace
+
+    data, _ = _data(n_agents=3, M=5)
+    s0 = nullspace.NSSettings(kkt_mode="banded", max_iter=300,
+                              check_every=50)
+    s1 = dataclasses.replace(s0, kkt_refine=1)
+    x0 = np.asarray(nullspace.solve_ns(data, s0))
+    x1 = np.asarray(nullspace.solve_ns(data, s1))
+    assert np.abs(x0 - x1).max() < 1e-6, np.abs(x0 - x1).max()

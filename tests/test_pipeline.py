@@ -47,6 +47,40 @@ def test_two_agent_swap_sequential():
     _check(result, metrics, param)
 
 
+def test_eight_agent_forest_joint_nullspace():
+    """Param.solver="nullspace" routes the pipeline through the
+    production joint path (qp/joint.py: host-f64 prep + phased banded
+    knot-state ADMM) — the bench.py headline architecture, reachable
+    from plan()/CLI."""
+    param = Param(world_z_min=0.0, solver_dtype="float32",
+                  grid_xy_res=0.5, grid_z_res=0.5, solver="nullspace")
+    mission = swap_mission(8, z=1.0, span=4.0, radius=0.12)
+    world = generate_forest(
+        mission, world_min=param.world_min, world_max=param.world_max,
+        resolution=param.world_resolution, obs_num=6, r_min=0.3, r_max=0.3,
+        h_min=1.0, h_max=2.5, margin=0.5, seed=7)
+    result, times = plan(mission, param, world, search_backend="python")
+    metrics = evaluate(result, mission, param)
+    _check(result, metrics, param)
+    assert result.solver_info["mode"] == "joint-nullspace"
+    assert result.solver_info["prep_s"] > 0
+    assert "ns_prep" in times.extra
+
+
+def test_joint_nullspace_outer_iteration():
+    """iteration=2 on the joint path: RSFC planes rebuilt from the
+    round-0 solution, fresh host prep, warm-started re-solve (the joint
+    analog of the reference's outer loop, rbp_planner.hpp:140)."""
+    param = Param(world_z_min=0.0, solver_dtype="float32",
+                  grid_xy_res=0.5, grid_z_res=0.5, solver="nullspace",
+                  iteration=2)
+    mission = swap_mission(6, z=1.0, span=3.0, radius=0.12)
+    result, _ = plan(mission, param, search_backend="python")
+    metrics = evaluate(result, mission, param)
+    _check(result, metrics, param)
+    assert result.solver_info["mode"] == "joint-nullspace"
+
+
 def test_eight_agent_forest():
     param = Param(world_z_min=0.0, solver_dtype="float64",
                   grid_xy_res=0.5, grid_z_res=0.5)

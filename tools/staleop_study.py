@@ -37,6 +37,14 @@ def log(*a):
 
 
 REPLAN_SCHEDULES = [(200, 600, 100), (100, 300, 60)]
+# (schedule, kkt_refine, rho fence) replan arms
+ARMS = [
+    (REPLAN_SCHEDULES[0], 0, None),
+    (REPLAN_SCHEDULES[0], 1, None),
+    (REPLAN_SCHEDULES[0], 0, 1e-3),
+    (REPLAN_SCHEDULES[0], 1, 1e-3),
+    (REPLAN_SCHEDULES[1], 1, 1e-3),
+]
 
 
 def knots_from_ctrl(ctrl: np.ndarray) -> np.ndarray:
@@ -67,13 +75,21 @@ def main():
 
     base = ns_settings()
 
-    def phases(b1, b2, b3):
-        return (dataclasses.replace(base, max_iter=b1, rho_lo=1e-3),
-                dataclasses.replace(base, max_iter=b2),
-                dataclasses.replace(base, max_iter=b3, rho_lo=1e-2))
+    def phases(b1, b2, b3, refine=0, fence=None):
+        # fence: cap the adaptive rho walk at this rung — the stale
+        # inventory error enters as rho * (C_new - C_old), so a low
+        # fence keeps the replan in the regime where the stale metric
+        # is near-exact (the warm start is feasible for the refreshed
+        # planes BY CONSTRUCTION, so high-rho feasibility pushing may
+        # be unnecessary)
+        b = dataclasses.replace(base, kkt_refine=refine, rho_hi=fence)
+        lo3 = 1e-2 if fence is None else min(1e-2, fence)
+        return (dataclasses.replace(b, max_iter=b1, rho_lo=1e-3),
+                dataclasses.replace(b, max_iter=b2),
+                dataclasses.replace(b, max_iter=b3, rho_lo=lo3))
 
-    def solve(data, op, sched):
-        ph = phases(*sched)
+    def solve(data, op, sched, refine=0, fence=None):
+        ph = phases(*sched, refine=refine, fence=fence)
 
         @jax.jit
         def go(dd, oo):
@@ -88,7 +104,15 @@ def main():
         B = mission.qn
         ctrl = x.transpose(0, 2, 1).reshape(B, plan.M, param.n + 1, 3)
         obj_b0, _ = batch0_objective(ctrl, plan, mission, param)
-        obj_ref, _ = ipm_best_response_batch0(plan, mission, param, ctrl)
+        try:
+            obj_ref, _ = ipm_best_response_batch0(plan, mission, param,
+                                                  ctrl)
+        except Exception as e:  # a diverged solve poisons the IPM's QP
+            ok, m = gate_quality(ctrl, plan, mission, param)
+            log(f"  {tag}: gate={'OK' if ok else 'FAIL'} margin=n/a "
+                f"(IPM failed: {type(e).__name__}) "
+                f"ratio={m['ratio']:.4f} box={m['box_viol']:.1e}")
+            return ctrl, False, float("nan")
         ok, m = gate_quality(ctrl, plan, mission, param, obj_ref, obj_b0)
         log(f"  {tag}: gate={'OK' if ok else 'FAIL'} "
             f"margin={obj_b0 / obj_ref:.3f} ratio={m['ratio']:.4f} "
@@ -122,23 +146,26 @@ def main():
             f"(vs {prep_s:.1f}s full prep)")
 
         row = dict(prep_s=prep_s, refresh_s=refresh_s, cycle0=(ok0, m0))
-        for sched in REPLAN_SCHEDULES:
-            xs, dts = solve(data1, op_stale, sched)
+        arms = [(f"stale-r{r}{'' if f is None else f'-fence{f:g}'}"
+                 f" {sched}", sched, r, f)
+                for (sched, r, f) in ARMS]
+        for tag, sched, refine, fence in arms:
+            xs, dts = solve(data1, op_stale, sched, refine=refine,
+                            fence=fence)
             _, ok_s, m_s = judge(xs, plan, mission, param,
-                                 f"replan-stale {sched}")
-            row[("stale",) + sched] = (ok_s, m_s)
+                                 f"replan-{tag} ({dts:.0f}s)")
+            row[tag] = (ok_s, m_s)
         op1 = nullspace.prepare_ns_np(data1, base)
         xf, dtf = solve(data1, op1, REPLAN_SCHEDULES[0])
         _, ok_f, m_f = judge(xf, plan, mission, param,
                              f"replan-fresh {REPLAN_SCHEDULES[0]}")
-        row[("fresh",) + REPLAN_SCHEDULES[0]] = (ok_f, m_f)
+        row[f"fresh {REPLAN_SCHEDULES[0]}"] = (ok_f, m_f)
         results[seed] = row
 
     log("\nsummary (gate, objective margin vs best-response IPM):")
     for seed, row in results.items():
         cells = " ".join(
-            f"{k if isinstance(k, str) else '/'.join(map(str, k))}="
-            f"{'OK' if v[0] else 'FAIL'}:{v[1]:.3f}"
+            f"[{k}]={'OK' if v[0] else 'FAIL'}:{v[1]:.3f}"
             for k, v in row.items() if isinstance(v, tuple))
         log(f"  seed {seed}: prep {row['prep_s']:.1f}s "
             f"refresh {row['refresh_s'] * 1e3:.0f}ms  {cells}")
