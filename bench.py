@@ -98,19 +98,16 @@ def assemble_joint(plan, mission, param):
 
 
 def ns_settings():
-    from swarm_simulator_tpu.qp import nullspace
+    """Production settings — single source of truth is the package
+    (qp/joint.py, reachable from plan()/CLI via Param.solver)."""
+    from swarm_simulator_tpu.qp import joint
 
-    # production joint solver; tighten covers first-order residual
-    # infeasibility at the strict ratio >= 1 gate (see qp/nullspace.py)
-    return nullspace.NSSettings(max_iter=MAX_ITER, check_every=CHECK_EVERY,
-                                eps_abs=2e-4, eps_rel=2e-4,
-                                eps_dual_abs=5e-3, tighten=2e-3,
-                                warm_start="x0", kkt_mode="banded",
-                                rho_min=1e-5, n_rungs=9)
+    return joint.production_settings(max_iter=MAX_ITER,
+                                     check_every=CHECK_EVERY)
 
 
 def ns_phases():
-    """Production phased rho schedule (see nullspace.solve_ns_phases):
+    """Production phased rho schedule (qp/joint.py production_phases):
     feasibility-first -> deep objective polish -> feasibility restore.
 
     Budgets re-tuned AFTER the host-f64 KKT prep landed
@@ -121,12 +118,9 @@ def ns_phases():
     the schedule sits at the knee with headroom
     (benchmarks/schedule_seeds5-9_cpu.log).  The pre-f64-prep budgets
     (400, 1200, 200) are 2x more iterations for the same gate outcome."""
-    import dataclasses
+    from swarm_simulator_tpu.qp import joint
 
-    base = ns_settings()
-    return (dataclasses.replace(base, max_iter=200, rho_lo=1e-3),
-            dataclasses.replace(base, max_iter=600),
-            dataclasses.replace(base, max_iter=100, rho_lo=1e-2))
+    return joint.production_phases(base=ns_settings())
 
 
 def gate_quality(ctrl, plan, mission, param, obj_ref=None, obj_b0=None,
@@ -218,7 +212,15 @@ def ipm_best_response_batch0(plan, mission, param, final_ctrl):
     t0 = time.perf_counter()
     res = ipm.solve_ipm_reduced(data0)
     dt = time.perf_counter() - t0
-    ipm.verify_optimal(data0, res, tol=1e-5)
+    try:
+        ipm.verify_optimal(data0, res, tol=1e-5)
+    except AssertionError:
+        # marginal instances can pass the solver's own termination test
+        # while the FULL-space complementarity (recomputed slacks) is
+        # still settling — retry tighter rather than loosen the check
+        # (observed: forest seed 3, comp 1.3e-4 at mu 9.8e-7)
+        res = ipm.solve_ipm_reduced(data0, tol=1e-12, max_iter=120)
+        ipm.verify_optimal(data0, res, tol=1e-5)
     Q, E, d_, C, c_, _ = ipm.build_flat(data0)
     xo = res.x.reshape(-1)
     return float(0.5 * xo @ (Q @ xo)), dt

@@ -43,12 +43,20 @@ PRODUCTION_BUDGETS = (200, 600, 100)
 def production_settings(max_iter: int = 1500,
                         check_every: int = 50) -> nullspace.NSSettings:
     """The production joint-solver settings (bench.py's gate-passing
-    configuration): banded KKT, 9-rung rho ladder, tighten margin for
-    first-order residual infeasibility at the strict ratio >= 1 gate."""
+    configuration): banded KKT, 5-rung rho ladder, tighten margin for
+    first-order residual infeasibility at the strict ratio >= 1 gate.
+
+    Ladder: logspace(1e-5, 1e-2, 5) — the exact bottom five rungs of
+    the original 9-rung logspace(1e-5, 1e1, 9).  tools/rung_usage.py
+    (seeds 0-4, production phases): the adaptive walk only ever visits
+    rungs {1e-5, 5.6e-5, 1.78e-3, 1e-2}; the four rungs above 1e-2 are
+    never touched, so preparing them wasted ~45% of the host-f64 prep,
+    the pivot-inventory memory, and the host->device transfer."""
     return nullspace.NSSettings(
         max_iter=max_iter, check_every=check_every,
         eps_abs=2e-4, eps_rel=2e-4, eps_dual_abs=5e-3, tighten=2e-3,
-        warm_start="x0", kkt_mode="banded", rho_min=1e-5, n_rungs=9)
+        warm_start="x0", kkt_mode="banded",
+        rho_min=1e-5, rho_max=1e-2, n_rungs=5)
 
 
 def production_phases(budgets: tuple[int, int, int] = PRODUCTION_BUDGETS,

@@ -37,13 +37,14 @@ def log(*a):
 
 
 REPLAN_SCHEDULES = [(200, 600, 100), (100, 300, 60)]
-# (schedule, kkt_refine, rho fence) replan arms
+# (schedule, kkt_refine, rho fence) replan arms.  Fenced arms were
+# measured dead on seed 0 (rho<=1e-3 does not shrink the stale error
+# enough: box 0.59-0.73 m, and the unrefined fenced run NaN'd) — the
+# cross-seed sweep keeps the informative three.
 ARMS = [
     (REPLAN_SCHEDULES[0], 0, None),
     (REPLAN_SCHEDULES[0], 1, None),
-    (REPLAN_SCHEDULES[0], 0, 1e-3),
-    (REPLAN_SCHEDULES[0], 1, 1e-3),
-    (REPLAN_SCHEDULES[1], 1, 1e-3),
+    (REPLAN_SCHEDULES[0], 2, None),
 ]
 
 
