@@ -141,6 +141,16 @@ class NSSettings:
     # fresh prep there.  Each step costs one extra inventory stream +
     # one fresh-constraint apply.
     kkt_refine: int = 0
+    # Run each check_every-sized inner loop as ONE Pallas kernel with
+    # the active rung's pivot inventory resident in VMEM
+    # (ops/pallas_nsfused.py) — removes the per-iteration ~46 MB HBM
+    # pivot stream that bounds the XLA scan path.  Requires kkt_mode
+    # "banded", uniform segment durations, a single (un-vmapped)
+    # problem whose working set fits VMEM (64 agents fits, 256 does
+    # not — see fused_fits), and an operator prepared with this flag
+    # (group-padded pivot layout).  Mutually exclusive with
+    # thomas_kernel and kkt_refine.
+    fused_chunk: bool = False
 
 
 class NSConstr(NamedTuple):
@@ -443,6 +453,16 @@ def prepare_ns_np(data: QPData, s: NSSettings) -> NSOp:
             with ThreadPoolExecutor(
                     max_workers=min(len(ladder), n_workers)) as ex:
                 list(ex.map(fill_rung, range(len(ladder))))
+        if s.fused_chunk:
+            if s.thomas_kernel:
+                raise ValueError("fused_chunk and thomas_kernel are "
+                                 "mutually exclusive")
+            if not onp.allclose(Ho, Ho[:1], atol=1e-12):
+                raise ValueError(
+                    "NSSettings.fused_chunk=True requires uniform "
+                    "segment durations (constant off-diagonal Ho)")
+            from ..ops.pallas_nsfused import prep_pivots_grouped
+            Dinvs = prep_pivots_grouped(Dinvs, phi)
         if s.thomas_kernel and Mi > 1:
             # the kernel assumes a CONSTANT off-diagonal block (I (x)
             # Ho[0]); non-uniform segment durations would make it
@@ -850,8 +870,16 @@ def _iterate_ns(data: QPData, op: NSOp, s: NSSettings, init=None,
         z = tmap(jnp.clip, z, l, u)
     rho_idx = jnp.clip(rho_idx, idx_lo, idx_hi)
 
-    kinv_apply = make_kinv_apply(op, B, K3, M, phi,
-                                 thomas_kernel=s.thomas_kernel)
+    if s.fused_chunk:
+        if s.kkt_refine:
+            raise ValueError("fused_chunk does not support kkt_refine "
+                             "(the fresh-K apply is not in the kernel)")
+        from ..ops.pallas_nsfused import build_operands, run_chunk
+        ops_f = build_operands(data, op, pop, l, u, phi)
+        kinv_apply = None
+    else:
+        kinv_apply = make_kinv_apply(op, B, K3, M, phi,
+                                     thomas_kernel=s.thomas_kernel)
 
     def K_fresh(v, rho_s):
         # matrix-free apply of the CURRENT problem's KKT operator
@@ -922,8 +950,13 @@ def _iterate_ns(data: QPData, op: NSOp, s: NSSettings, init=None,
 
     def outer_body(state):
         w, z, y, rho_idx, it, _ = state
-        (w, z, y, rho_idx), _ = jax.lax.scan(
-            admm_step, (w, z, y, rho_idx), None, length=s.check_every)
+        if s.fused_chunk:
+            w, z, y = run_chunk(ops_f, rho_idx, s.sigma, s.alpha,
+                                w, z, y, n_inner=s.check_every)
+        else:
+            (w, z, y, rho_idx), _ = jax.lax.scan(
+                admm_step, (w, z, y, rho_idx), None,
+                length=s.check_every)
         r_prim, r_dual, n_prim, n_dual = residuals(w, z, y)
         done = (r_prim <= eps_abs + eps_rel * n_prim) & \
                (r_dual <= eps_dual + eps_rel * n_dual)

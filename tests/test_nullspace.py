@@ -260,3 +260,69 @@ def test_kkt_refine_noop_on_fresh_op():
     x0 = np.asarray(nullspace.solve_ns(data, s0))
     x1 = np.asarray(nullspace.solve_ns(data, s1))
     assert np.abs(x0 - x1).max() < 1e-6, np.abs(x0 - x1).max()
+
+
+def test_fused_chunk_matches_xla_path():
+    """The VMEM-resident fused ADMM chunk kernel (ops/pallas_nsfused.py,
+    interpret mode on CPU) must track the XLA scan path iteration-for-
+    iteration: same phased solve, zero tolerances (no early exit), same
+    prepared f64 operator — control points agree to f32 roundoff."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from swarm_simulator_tpu.qp import nullspace
+
+    data, _ = _data(n_agents=3, M=6)
+    data = jax.tree.map(
+        lambda a: np.asarray(a, np.float32)
+        if np.asarray(a).dtype == np.float64 else np.asarray(a), data)
+    s0 = nullspace.NSSettings(kkt_mode="banded", max_iter=150,
+                              check_every=50, eps_abs=0.0, eps_rel=0.0,
+                              eps_dual_abs=0.0)
+
+    def solve(s):
+        op = nullspace.prepare_ns_np(data, s)
+        x, info = jax.jit(
+            lambda d, o: nullspace.solve_ns_phases(d, (s,), op=o))(
+                jax.tree.map(jnp.asarray, data), jax.device_put(op))
+        return np.asarray(x, np.float64)
+
+    x_ref = solve(s0)
+    x_fused = solve(dataclasses.replace(s0, fused_chunk=True))
+    scale = max(1.0, np.abs(x_ref).max())
+    err = np.abs(x_ref - x_fused).max() / scale
+    assert err < 5e-5, err
+
+
+def test_fused_chunk_matches_xla_path_8agents():
+    """Same equivalence at a larger shape (8 agents, M=8, 28 pairs) —
+    exercises multi-tile rows and the pair-lane padding."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from swarm_simulator_tpu.qp import nullspace
+
+    data, _ = _data(n_agents=8, M=8)
+    data = jax.tree.map(
+        lambda a: np.asarray(a, np.float32)
+        if np.asarray(a).dtype == np.float64 else np.asarray(a), data)
+    s0 = nullspace.NSSettings(kkt_mode="banded", max_iter=100,
+                              check_every=50, eps_abs=0.0, eps_rel=0.0,
+                              eps_dual_abs=0.0)
+
+    def solve(s):
+        op = nullspace.prepare_ns_np(data, s)
+        x, info = jax.jit(
+            lambda d, o: nullspace.solve_ns_phases(d, (s,), op=o))(
+                jax.tree.map(jnp.asarray, data), jax.device_put(op))
+        return np.asarray(x, np.float64)
+
+    x_ref = solve(s0)
+    x_fused = solve(dataclasses.replace(s0, fused_chunk=True))
+    scale = max(1.0, np.abs(x_ref).max())
+    err = np.abs(x_ref - x_fused).max() / scale
+    assert err < 5e-5, err
