@@ -127,3 +127,70 @@ def test_thomas_kernel_compiled_accuracy():
         got = np.asarray(apply_pl(op_pl, jnp.int32(r), rhs))
         err = np.abs(got - want).max() / max(np.abs(want).max(), 1.0)
         assert err < 2e-3, (r, err)
+
+
+def test_fused_chunk_compiled_accuracy():
+    """The VMEM-resident fused ADMM chunk kernel (ops/pallas_nsfused.py)
+    must track the XLA scan path compiled on TPU — same phased solve,
+    zero tolerances (identical iteration counts), same prepared f64
+    operator."""
+    import dataclasses
+
+    import numpy as np
+
+    from swarm_simulator_tpu.qp import nullspace
+
+    sys.path.insert(0, "/root/repo/tests")
+    from test_nullspace import _data
+
+    jnp = jax.numpy
+    dev = _tpu_device()
+    data, _ = _data(n_agents=8, M=8)
+    data = jax.tree.map(
+        lambda a: np.asarray(a, np.float32)
+        if np.asarray(a).dtype == np.float64 else np.asarray(a), data)
+    s0 = nullspace.NSSettings(kkt_mode="banded", max_iter=100,
+                              check_every=50, eps_abs=0.0, eps_rel=0.0,
+                              eps_dual_abs=0.0)
+
+    def solve(s):
+        op = nullspace.prepare_ns_np(data, s)
+        d = jax.tree.map(lambda a: jax.device_put(jnp.asarray(a), dev),
+                         data)
+        o = jax.device_put(op, dev)
+        x, info = jax.jit(
+            lambda dd, oo: nullspace.solve_ns_phases(dd, (s,), op=oo))(d, o)
+        return np.asarray(x, np.float64)
+
+    x_ref = solve(s0)
+    x_fused = solve(dataclasses.replace(s0, fused_chunk=True))
+    scale = max(1.0, np.abs(x_ref).max())
+    err = np.abs(x_ref - x_fused).max() / scale
+    assert err < 2e-4, err
+
+
+def test_fused_joint_gate_compiled_tpu():
+    """The production 64-agent forest solve with the fused chunk kernel
+    passes the full safety gate compiled on TPU."""
+    import dataclasses
+
+    import numpy as np
+
+    import bench
+    from swarm_simulator_tpu.qp import nullspace
+
+    jnp = jax.numpy
+    plan, mission, param = bench.build_problem(seed=0)
+    data, _ = bench.assemble_joint(plan, mission, param)
+    dev = _tpu_device()
+    phases = tuple(dataclasses.replace(p, fused_chunk=True)
+                   for p in bench.ns_phases())
+    op = nullspace.prepare_ns_np(data, phases[0])
+    d = jax.tree.map(lambda x: jax.device_put(jnp.asarray(x), dev), data)
+    o = jax.device_put(op, dev)
+    x, info = jax.jit(
+        lambda dd, oo: nullspace.solve_ns_phases(dd, phases, op=oo))(d, o)
+    x = np.asarray(x, np.float64)
+    ctrl = x.transpose(0, 2, 1).reshape(64, plan.M, param.n + 1, 3)
+    ok, m = bench.gate_quality(ctrl, plan, mission, param)
+    assert ok, m
