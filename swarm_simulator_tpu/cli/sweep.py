@@ -43,6 +43,10 @@ def main(argv=None) -> int:
     p.add_argument("--sequential", action="store_true")
     p.add_argument("--batch-size", type=int, default=4)
     p.add_argument("--dtype", default="float32")
+    p.add_argument("--solver", choices=["admm", "nullspace"],
+                   default="admm",
+                   help="nullspace: the production joint whole-swarm "
+                        "path per map (qp/joint.py)")
     p.add_argument("--platform", default=None)
     p.add_argument("--json", action="store_true")
     args = p.parse_args(argv)
@@ -65,7 +69,7 @@ def main(argv=None) -> int:
         ecbs_w=args.ecbs_w, grid_xy_res=args.grid_xy_res,
         grid_z_res=args.grid_z_res, sequential=args.sequential,
         batch_size=args.batch_size, batch_iter=-1,
-        solver_dtype=args.dtype)
+        solver_dtype=args.dtype, solver=args.solver)
 
     rows = []
     n_ok = 0
