@@ -218,8 +218,12 @@ def ipm_best_response_batch0(plan, mission, param, final_ctrl):
         # marginal instances can pass the solver's own termination test
         # while the FULL-space complementarity (recomputed slacks) is
         # still settling — retry tighter rather than loosen the check
-        # (observed: forest seed 3, comp 1.3e-4 at mu 9.8e-7)
+        # (observed: forest seed 3, comp 1.3e-4 at mu 9.8e-7).  dt is
+        # the VERIFIED solve's own time (a cumulative double-solve time
+        # would inflate the vs_baseline denominator in our favor)
+        t0 = time.perf_counter()
         res = ipm.solve_ipm_reduced(data0, tol=1e-12, max_iter=120)
+        dt = time.perf_counter() - t0
         ipm.verify_optimal(data0, res, tol=1e-5)
     Q, E, d_, C, c_, _ = ipm.build_flat(data0)
     xo = res.x.reshape(-1)

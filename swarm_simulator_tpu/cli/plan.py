@@ -61,11 +61,13 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--sequential", action="store_true")
     p.add_argument("--batch-size", type=int, default=4)
     p.add_argument("--batch-iter", type=int, default=-1)
-    p.add_argument("--iteration", type=int, default=1)
+    p.add_argument("--iteration", type=int, default=None,
+                   help="outer re-solve rounds (default: preset value "
+                        "or 1)")
     p.add_argument("--parallel-mode", choices=["gauss-seidel", "jacobi"],
                    default="gauss-seidel")
     p.add_argument("--solver", choices=["admm", "nullspace"],
-                   default="admm",
+                   default=None,
                    help="admm: per-batch solver/sweeps; nullspace: the "
                         "production JOINT whole-swarm path (qp/joint.py, "
                         "host-f64 prep + banded-KKT knot-state ADMM); "
@@ -120,11 +122,17 @@ def main(argv=None) -> int:
         from swarm_simulator_tpu.core.config import preset as get_preset
         import dataclasses as _dc
         pp = get_preset(args.preset)
+        # only override preset fields the user explicitly set
+        over = {}
+        if args.solver is not None:
+            over["solver"] = args.solver
+        if args.iteration is not None:
+            over["iteration"] = args.iteration
         param = _dc.replace(
             pp.param, solver_dtype=args.dtype,
             solver_max_iter=args.max_iter, log=args.log,
-            solver=args.solver, iteration=args.iteration,
-            corridor_mode="flat" if args.flat else pp.param.corridor_mode)
+            corridor_mode="flat" if args.flat else pp.param.corridor_mode,
+            **over)
     else:
         param = sst.Param(
         world_x_min=args.world_min[0], world_y_min=args.world_min[1],
@@ -136,8 +144,9 @@ def main(argv=None) -> int:
         time_scale=not args.no_time_scale, time_step=args.time_step,
         downwash=args.downwash, sequential=args.sequential,
         batch_size=args.batch_size, batch_iter=args.batch_iter,
-        iteration=args.iteration, parallel_mode=args.parallel_mode,
-        solver=args.solver,
+        iteration=args.iteration if args.iteration is not None else 1,
+        parallel_mode=args.parallel_mode,
+        solver=args.solver if args.solver is not None else "admm",
         corridor_mode="flat" if args.flat else "rbp",
         solver_dtype=args.dtype, solver_max_iter=args.max_iter,
         log=args.log,

@@ -41,9 +41,10 @@ Layouts (B=64 agents, M=36 segments: B3=192, D=216, GW=768, PL=2048):
                        S[p, b] if kk==k else 0  (exact in bf16)
 
 Replaces the hot loop of rbp_planner.hpp:111-206 (the CPLEX solve) at
-the chunk level; falls back to the XLA scan path when the working set
-does not fit VMEM (the 64-agent production problem fits; 256 agents
-does not) or segment durations are non-uniform.
+the chunk level.  When the working set does not fit VMEM (fused_fits:
+the 64-agent production problem fits at ~85 MB; 256 agents does not)
+prep keeps the flat pivot layout and the solve silently falls back to
+the XLA scan path; non-uniform segment durations raise at prep.
 """
 from __future__ import annotations
 
@@ -75,7 +76,7 @@ def fused_vmem_bytes(B: int, M: int, P: int) -> int:
     PL = _ceil(max(P, 1), LANE)
     dbuf = Mi * 3 * B3 * GW * 4
     pair = 9 * D * PL * 4          # ndT(3) + z/y/l in+out + temporaries
-    skt = 3 * B3 * PL * 2
+    skt = 3 * B3 * PL * 4          # f32 VMEM input (cast to bf16 in-kernel)
     box = 10 * D * _ceil(B3, LANE) * 4
     rows = 6 * Mi * GW * 4
     return dbuf + pair + skt + box + rows + (1 << 22)
@@ -83,21 +84,33 @@ def fused_vmem_bytes(B: int, M: int, P: int) -> int:
 
 def fused_fits(B: int, M: int, P: int,
                budget: int = 112 * 1024 * 1024) -> bool:
+    """Whether the fused kernel's working set fits VMEM.  Also rejects
+    swarms whose 3B agent-axis lanes exceed one GROUP (the row layout
+    stores all (agent, axis) lanes inside a 256-lane group)."""
+    if 3 * B > GROUP:
+        return False
     return fused_vmem_bytes(B, M, P) <= budget
 
 
-def prep_pivots_grouped(dinvs: np.ndarray, phi: int) -> np.ndarray:
+def prep_pivots_grouped(dinvs, phi: int):
     """[R, Mi, bs, bs] flat pivots -> [R, Mi, phi, B3, GW] group-padded
-    (host numpy, once at operator prep).  bs ordering is (b3, f)
-    f-minor (see prepare_ns_np)."""
+    (once at operator prep; numpy or jax array — the host prep calls
+    with numpy, the device prep under jit with jnp).  bs ordering is
+    (b3, f) f-minor (see prepare_ns_np)."""
     R, Mi, bs, _ = dinvs.shape
     B3 = bs // phi
     GW = phi * GROUP
+    xp = jnp if isinstance(dinvs, jnp.ndarray) else np
     # input side: s = b3*phi + f  ->  [.., B3, phi, bs] -> [.., phi, B3, bs]
     d = dinvs.reshape(R, Mi, B3, phi, bs).transpose(0, 1, 3, 2, 4)
-    out = np.zeros((R, Mi, phi, B3, GW), dtype=dinvs.dtype)
-    # output side: s' = b3'*phi + f' -> group f' at lanes [256 f', ..+B3)
     ds = d.reshape(R, Mi, phi, B3, B3, phi)
+    # output side: s' = b3'*phi + f' -> group f' at lanes [256 f', ..+B3)
+    if xp is jnp:
+        out = jnp.zeros((R, Mi, phi, B3, GW), dinvs.dtype)
+        for fp in range(phi):
+            out = out.at[..., fp * GROUP:fp * GROUP + B3].set(ds[..., fp])
+        return out
+    out = np.zeros((R, Mi, phi, B3, GW), dtype=dinvs.dtype)
     for fp in range(phi):
         out[..., fp * GROUP:fp * GROUP + B3] = ds[..., fp]
     return out

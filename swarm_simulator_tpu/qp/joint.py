@@ -48,10 +48,12 @@ def production_settings(max_iter: int = 1500,
 
     Ladder: logspace(1e-5, 1e-2, 5) — the exact bottom five rungs of
     the original 9-rung logspace(1e-5, 1e1, 9).  tools/rung_usage.py
-    (seeds 0-4, production phases): the adaptive walk only ever visits
-    rungs {1e-5, 5.6e-5, 1.78e-3, 1e-2}; the four rungs above 1e-2 are
-    never touched, so preparing them wasted ~45% of the host-f64 prep,
-    the pivot-inventory memory, and the host->device transfer."""
+    (seeds 0-4, production phases): the ADAPTIVE walk only ever visits
+    rungs {1e-5, 5.6e-5, 1.78e-3, 1e-2}.  One behavioral change rides
+    along: the warm-start rung (nearest to NSSettings.rho=0.1) was
+    5.6e-2 on the old ladder and is 1e-2 here, so the first
+    check_every chunk runs one rung lower — covered by the 10-seed
+    gate re-validation (benchmarks/rung5_gate10_cpu.log)."""
     return nullspace.NSSettings(
         max_iter=max_iter, check_every=check_every,
         eps_abs=2e-4, eps_rel=2e-4, eps_dual_abs=5e-3, tighten=2e-3,
@@ -67,6 +69,10 @@ def production_phases(budgets: tuple[int, int, int] = PRODUCTION_BUDGETS,
     objective polish (unfenced) -> feasibility restore (fenced high)."""
     b = base if base is not None else production_settings()
     b = dataclasses.replace(b, kkt_refine=kkt_refine)
+    if kkt_refine:
+        # the fused kernel has no fresh-K apply; a refined (stale-op)
+        # schedule derived from fused base phases must drop the kernel
+        b = dataclasses.replace(b, fused_chunk=False)
     return (dataclasses.replace(b, max_iter=budgets[0], rho_lo=1e-3),
             dataclasses.replace(b, max_iter=budgets[1]),
             dataclasses.replace(b, max_iter=budgets[2], rho_lo=1e-2))
@@ -122,6 +128,12 @@ def solve_trajectories(plan: PlanResult, mission: Mission, param: Param,
 
     if phases is None:
         phases = production_phases()
+    if replan_prep == "stale" and any(p.fused_chunk for p in phases):
+        # stale replans need kkt_refine (fresh-K PCG), which the fused
+        # kernel cannot run, and a fused-prepped (grouped) operator
+        # cannot feed the XLA path either — reject upfront
+        raise ValueError("replan_prep='stale' is incompatible with "
+                         "fused_chunk phases; use replan_prep='fresh'")
     n, M, N = param.n, plan.M, mission.qn
 
     data, dummy = assemble_joint(plan, mission, param)
@@ -129,13 +141,15 @@ def solve_trajectories(plan: PlanResult, mission: Mission, param: Param,
     op = nullspace.prepare_ns_np(data, phases[0])   # host f64, once
     prep_s = time.perf_counter() - t0
 
-    def run(data_h, op_h, ph):
-        x, info = _solve_phases_jit(jax.tree.map(jnp.asarray, data_h),
-                                    jax.device_put(op_h), phases=ph)
-        x = np.asarray(x, dtype=np.float64)
-        return x.transpose(0, 2, 1).reshape(N, M, n + 1, 3), info
+    op_dev = jax.device_put(op)     # pivot inventory uploaded ONCE
 
-    ctrl, info = run(data, op, phases)
+    def run(data_h, op_d, ph):
+        x, info = _solve_phases_jit(jax.tree.map(jnp.asarray, data_h),
+                                    op_d, phases=ph)
+        return convert.x_to_ctrl(np.asarray(x, np.float64), M, n), info
+
+    ctrl, info = run(data, op_dev, phases)
+    replan_rounds = 0
 
     if param.iteration > 1:
         # replan phases compile once and are reused across rounds
@@ -147,17 +161,29 @@ def solve_trajectories(plan: PlanResult, mission: Mission, param: Param,
         for _ in range(param.iteration - 1):
             knots = np.concatenate(
                 [ctrl[:, :, 0, :], ctrl[:, -1:, -1, :]], axis=1)
-            pair_idx, normals = build_rsfc(knots, param.downwash)
+            try:
+                pair_idx, normals = build_rsfc(knots, param.downwash)
+            except ValueError:
+                # a residually-colliding pair leaves no separating
+                # plane — keep the best solved round instead of dying
+                break
             assert np.array_equal(pair_idx, np.asarray(plan.pair_idx))
             plan.pair_normals = np.asarray(normals, np.float64)
             data, _ = assemble_joint(plan, mission, param, dummy=ctrl)
             if replan_prep == "stale":
-                op = nullspace.refresh_ns_op_np(op, data)  # milliseconds
+                # only the endpoint-dependent leaves change; the
+                # multi-100MB pivot inventory stays device-resident
+                op = nullspace.refresh_ns_op_np(op, data)
+                op_dev = op_dev._replace(
+                    x_pin=jnp.asarray(op.x_pin),
+                    g=jnp.asarray(op.g))
             else:
                 t0 = time.perf_counter()
                 op = nullspace.prepare_ns_np(data, rphases[0])
                 prep_s += time.perf_counter() - t0
-            ctrl, info = run(data, op, rphases)
+                op_dev = jax.device_put(op)
+            ctrl, info = run(data, op_dev, rphases)
+            replan_rounds += 1
 
     plan.ctrl = ctrl
     plan.coef = convert.ctrl_to_coef(ctrl, plan.T, n)
@@ -178,6 +204,7 @@ def solve_trajectories(plan: PlanResult, mission: Mission, param: Param,
         "mode": "joint-nullspace",
         "solved": np.ones(N, dtype=bool),
         "prep_s": prep_s,
+        "replan_rounds": replan_rounds,
         "problem_size": str(psize),
     }
     return plan

@@ -461,8 +461,13 @@ def prepare_ns_np(data: QPData, s: NSSettings) -> NSOp:
                 raise ValueError(
                     "NSSettings.fused_chunk=True requires uniform "
                     "segment durations (constant off-diagonal Ho)")
-            from ..ops.pallas_nsfused import prep_pivots_grouped
-            Dinvs = prep_pivots_grouped(Dinvs, phi)
+            from ..ops.pallas_nsfused import (fused_fits,
+                                              prep_pivots_grouped)
+            # silently fall back to the flat (XLA scan) layout when the
+            # kernel's working set cannot fit VMEM (e.g. 256 agents) —
+            # _iterate_ns picks the path from the pivot layout
+            if fused_fits(B, M, onp.asarray(data.pair_n).shape[0]):
+                Dinvs = prep_pivots_grouped(Dinvs, phi)
         if s.thomas_kernel and Mi > 1:
             # the kernel assumes a CONSTANT off-diagonal block (I (x)
             # Ho[0]); non-uniform segment durations would make it
@@ -671,6 +676,16 @@ def prepare_ns(data: QPData, s: NSSettings) -> NSOp:
             return jnp.concatenate([Dinv0[None], Ds], axis=0)
 
         Dinvs = jax.vmap(factor)(ladder)         # [R, Mi, bs, bs]
+        if s.fused_chunk:
+            # device-side twin of the prepare_ns_np hook (uniform-dt is
+            # asserted only on the host path — traced values cannot be
+            # checked here; production preps through prepare_ns_np)
+            from ..ops.pallas_nsfused import fused_fits, prep_pivots_grouped
+            if s.thomas_kernel:
+                raise ValueError("fused_chunk and thomas_kernel are "
+                                 "mutually exclusive")
+            if fused_fits(B, M, data.pair_n.shape[0]):
+                Dinvs = prep_pivots_grouped(Dinvs, phi)
         return NSOp(N=N, x_pin=x_pin, g=g, F0=F0, FT=FT, c_s=c_s,
                     ladder=ladder, Kinvs=None, Dinvs=Dinvs, Kos=Ho)
 
@@ -870,7 +885,12 @@ def _iterate_ns(data: QPData, op: NSOp, s: NSSettings, init=None,
         z = tmap(jnp.clip, z, l, u)
     rho_idx = jnp.clip(rho_idx, idx_lo, idx_hi)
 
-    if s.fused_chunk:
+    # the fused path is taken iff requested AND the operator was
+    # actually prepared in the grouped layout (prep falls back to flat
+    # when the kernel working set does not fit VMEM)
+    fused = (s.fused_chunk and op.Dinvs is not None
+             and op.Dinvs.ndim == 5)
+    if fused:
         if s.kkt_refine:
             raise ValueError("fused_chunk does not support kkt_refine "
                              "(the fresh-K apply is not in the kernel)")
@@ -878,6 +898,8 @@ def _iterate_ns(data: QPData, op: NSOp, s: NSSettings, init=None,
         ops_f = build_operands(data, op, pop, l, u, phi)
         kinv_apply = None
     else:
+        # includes the documented fallback: fused requested but prep
+        # kept the flat layout (working set exceeds VMEM) -> XLA scan
         kinv_apply = make_kinv_apply(op, B, K3, M, phi,
                                      thomas_kernel=s.thomas_kernel)
 
@@ -950,7 +972,7 @@ def _iterate_ns(data: QPData, op: NSOp, s: NSSettings, init=None,
 
     def outer_body(state):
         w, z, y, rho_idx, it, _ = state
-        if s.fused_chunk:
+        if fused:
             w, z, y = run_chunk(ops_f, rho_idx, s.sigma, s.alpha,
                                 w, z, y, n_inner=s.check_every)
         else:

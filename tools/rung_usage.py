@@ -69,12 +69,31 @@ def main():
                 return nullspace._iterate_ns(d, o, s, init=state,
                                              return_state=True)
 
+        # the walk entries are the rung ACTIVE DURING each chunk: the
+        # carried rho_idx clipped into the current phase's fence at
+        # chunk entry (exactly _iterate_ns's init clip; the adaptive
+        # update only fires AFTER a chunk's iterations).  The first
+        # chunk runs at the warm-start rung — count it too, or a rung
+        # used only there would be reported unvisited and wrongly
+        # dropped from the ladder.
+        lad_log = np.log(ladder)
+
+        def fence(ph):
+            lo = (int(np.argmin(np.abs(lad_log - np.log(ph.rho_lo))))
+                  if ph.rho_lo is not None else 0)
+            hi = (int(np.argmin(np.abs(lad_log - np.log(ph.rho_hi))))
+                  if ph.rho_hi is not None else len(ladder) - 1)
+            return lo, hi
+
+        carry = int(np.argmin(np.abs(lad_log - np.log(phases[0].rho))))
         state = None
         walk = []
         for si, ph in enumerate(phases):
+            lo, hi = fence(ph)
             for _ in range(ph.max_iter // ph.check_every):
+                walk.append(min(max(carry, lo), hi))
                 x, info, state = chunk(data_dev, op_dev, state, si=si)
-                walk.append(int(state[3]))
+                carry = int(state[3])
         visits.update(walk)
         log(f"seed {seed}: obj={float(info.obj):.4f} walk={walk}")
 
