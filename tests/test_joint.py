@@ -56,3 +56,14 @@ def test_sweep_artifacts_regression():
     ok_maps = [m for m in maps if m.get("ok")]
     assert len(maps) == 50, len(maps)
     assert len(ok_maps) >= 43, len(ok_maps)
+
+    # the JOINT production path matches the sequential contract on the
+    # same mission suite (tools/mission_sweep.py --solver nullspace);
+    # the single failure is mission_8agents_120 (r=1.2 agents cannot
+    # fit the ECBS grid — infeasible for the reference too)
+    joint = [json.loads(line) for line in
+             (root / "mission_sweep_joint_cpu.jsonl").read_text()
+             .splitlines() if line.strip()]
+    ok_joint = [m for m in joint if m.get("ok")]
+    assert len(joint) == 22, len(joint)
+    assert len(ok_joint) >= 21, len(ok_joint)

@@ -6,6 +6,7 @@ The reference's launch files pair missions with specific worlds; here every
 mission runs in the empty default 10x10x2.5 world (the launch default,
 plan_rbp_random_forest.launch:23-28), which all mission start/goal points
 fit inside."""
+import argparse
 import glob
 import json
 import os
@@ -29,7 +30,15 @@ def log(*a):
 
 
 def main():
-    out_path = "benchmarks/mission_sweep_cpu_f64.jsonl"
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--solver", choices=["admm", "nullspace"],
+                    default="admm",
+                    help="nullspace: the JOINT production path per "
+                         "mission (qp/joint.py, float32)")
+    args = ap.parse_args()
+    out_path = ("benchmarks/mission_sweep_cpu_f64.jsonl"
+                if args.solver == "admm"
+                else "benchmarks/mission_sweep_joint_cpu.jsonl")
     os.makedirs("benchmarks", exist_ok=True)
     rows = []
     for mf in sorted(glob.glob(
@@ -54,7 +63,13 @@ def main():
                           solver_dtype="float64",
                           grid_xy_res=0.5, grid_z_res=1.0,
                           esdf_max_dist=max(1.0, rmax + 0.2 + 0.1),
-                          sequential=seq, batch_size=4, batch_iter=-1)
+                          sequential=seq, batch_size=4, batch_iter=-1,
+                          solver=args.solver)
+        if args.solver == "nullspace":
+            # the production joint path (f32, host-f64 prep); ignores
+            # sequential/batch_size
+            import dataclasses
+            param = dataclasses.replace(param, solver_dtype="float32")
         t0 = time.perf_counter()
         try:
             result, times = sst.plan(mission, param)
