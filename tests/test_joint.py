@@ -67,3 +67,12 @@ def test_sweep_artifacts_regression():
     ok_joint = [m for m in joint if m.get("ok")]
     assert len(joint) == 22, len(joint)
     assert len(ok_joint) >= 21, len(ok_joint)
+
+    # ... and the 50-map contract (cli/sweep --solver nullspace): the
+    # same 43/50, failing on exactly the 7 mission-infeasible maps
+    jm = [json.loads(line) for line in
+          (root / "sweep50_joint_cpu.jsonl").read_text().splitlines()
+          if line.strip()]
+    ok_jm = [m for m in jm if m.get("ok")]
+    assert len(jm) == 50, len(jm)
+    assert len(ok_jm) >= 43, len(ok_jm)
