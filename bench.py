@@ -110,6 +110,11 @@ def ns_phases():
     """Production phased rho schedule (qp/joint.py production_phases):
     feasibility-first -> deep objective polish -> feasibility restore.
 
+    BENCH_FUSED=1 additionally runs every phase through the
+    VMEM-resident fused chunk kernel (ops/pallas_nsfused.py) — opt-in
+    until its compiled-TPU timing is recorded (tools/fused_bench.py);
+    the gate verifies quality either way.
+
     Budgets re-tuned AFTER the host-f64 KKT prep landed
     (tools/schedule_study.py): (200, 600, 100) passes TEN forest seeds
     (0-9) with worst objective margin 1.173 vs the 1.25 gate bound
@@ -118,9 +123,16 @@ def ns_phases():
     the schedule sits at the knee with headroom
     (benchmarks/schedule_seeds5-9_cpu.log).  The pre-f64-prep budgets
     (400, 1200, 200) are 2x more iterations for the same gate outcome."""
+    import dataclasses
+    import os
+
     from swarm_simulator_tpu.qp import joint
 
-    return joint.production_phases(base=ns_settings())
+    phases = joint.production_phases(base=ns_settings())
+    if os.environ.get("BENCH_FUSED"):
+        phases = tuple(dataclasses.replace(p, fused_chunk=True)
+                       for p in phases)
+    return phases
 
 
 def gate_quality(ctrl, plan, mission, param, obj_ref=None, obj_b0=None,
