@@ -1,6 +1,6 @@
 """Which rho rungs does the production phased solve actually visit?
 
-The host-f64 prep (prepare_ns_np) factorizes ALL n_rungs=9 rungs of the
+The host-f64 prep (prepare_ns_np) factorizes EVERY rung of the
 rho ladder — the dominant replan cost (8-10 s at 64 agents, ~21 min at
 256).  If the adaptive walk only ever visits a subset, the inventory
 can shrink to those rungs and prep drops proportionally.
