@@ -151,6 +151,22 @@ class NSSettings:
     # (group-padded pivot layout).  Mutually exclusive with
     # thomas_kernel and kkt_refine.
     fused_chunk: bool = False
+    # Anderson acceleration (type II) applied at CHUNK level: the map
+    # G(v) = check_every ADMM iterations on the packed state
+    # v = (w, z, y), accelerated with a depth-aa_depth rolling history.
+    # One chunk = one map evaluation, so acceleration costs only the
+    # tiny m x m least squares per chunk — and composes with any inner
+    # path (XLA scan, fused kernel).  The history RESETS whenever the
+    # rho rung changes (different map), at phase boundaries (state
+    # re-enters fresh), or when the chunk residual ||G(v) - v|| grows
+    # (safeguard: the extrapolation misled, fall back to the plain
+    # iterate).  0 = off — and MEASURED HARMFUL at production scale
+    # (benchmarks/aa_study_cpu.log, seeds 8/2/4/7): objective margins
+    # degrade at EQUAL budget (seed 8: 1.22 -> 1.29, breaking the
+    # gate) and collapse at shorter ones; the phased projection-heavy
+    # fixed point with a moving rho rung is exactly AA's weak regime.
+    # Kept as a tested research knob; do not enable in production.
+    aa_depth: int = 0
 
 
 class NSConstr(NamedTuple):
@@ -970,40 +986,126 @@ def _iterate_ns(data: QPData, op: NSOp, s: NSSettings, init=None,
             jnp.max(jnp.abs(jnp.einsum("da,bkd->bka", op.N, aty))))
         return r_prim, r_dual, n_prim, n_dual
 
+    # ---- chunk-level Anderson acceleration (type II) ----
+    # G(v) = one check_every chunk on the packed iterate; one chunk =
+    # one map evaluation, so AA costs only an m x m least squares.
+    aa = int(s.aa_depth)
+    zb_sh, zp_sh = z.box.shape, z.pair.shape
+    w_sh = w.shape
+    import math
+    sizes = [math.prod(w_sh), math.prod(zb_sh), math.prod(zp_sh),
+             math.prod(zb_sh), math.prod(zp_sh)]
+    offs = [0]
+    for sz in sizes:
+        offs.append(offs[-1] + sz)
+    Lv = offs[-1]
+
+    def _pack(w_, z_, y_):
+        return jnp.concatenate([
+            w_.reshape(-1), z_.box.reshape(-1), z_.pair.reshape(-1),
+            y_.box.reshape(-1), y_.pair.reshape(-1)])
+
+    def _unpack(v):
+        w_ = v[offs[0]:offs[1]].reshape(w_sh)
+        z_ = NSConstr(box=v[offs[1]:offs[2]].reshape(zb_sh),
+                      pair=v[offs[2]:offs[3]].reshape(zp_sh))
+        y_ = NSConstr(box=v[offs[3]:offs[4]].reshape(zb_sh),
+                      pair=v[offs[4]:offs[5]].reshape(zp_sh))
+        return w_, z_, y_
+
+    def chunk_map(w_, z_, y_, rho_idx_):
+        if fused:
+            return run_chunk(ops_f, rho_idx_, s.sigma, s.alpha,
+                             w_, z_, y_, n_inner=s.check_every)
+        (w_, z_, y_, _), _ = jax.lax.scan(
+            admm_step, (w_, z_, y_, rho_idx_), None,
+            length=s.check_every)
+        return w_, z_, y_
+
+    def rho_update(rho_idx, done, r_prim, r_dual, n_prim, n_dual):
+        if not s.adaptive_rho:
+            return rho_idx
+        tiny = jnp.asarray(1e-10, dt_)
+        rho_s = op.ladder[rho_idx]
+        ratio = jnp.sqrt(
+            (r_prim / jnp.maximum(n_prim, tiny))
+            / jnp.maximum(r_dual / jnp.maximum(n_dual, tiny), tiny))
+        cand = jnp.clip(rho_s * ratio, s.rho_min, s.rho_max)
+        change = (cand > s.adapt_threshold * rho_s) | \
+                 (cand < rho_s / s.adapt_threshold)
+        cand_idx = jnp.clip(
+            jnp.argmin(jnp.abs(lad_log - jnp.log(cand))),
+            idx_lo, idx_hi)
+        return jnp.where(done | ~change, rho_idx, cand_idx)
+
     def outer_body(state):
         w, z, y, rho_idx, it, _ = state
-        if fused:
-            w, z, y = run_chunk(ops_f, rho_idx, s.sigma, s.alpha,
-                                w, z, y, n_inner=s.check_every)
-        else:
-            (w, z, y, rho_idx), _ = jax.lax.scan(
-                admm_step, (w, z, y, rho_idx), None,
-                length=s.check_every)
+        w, z, y = chunk_map(w, z, y, rho_idx)
         r_prim, r_dual, n_prim, n_dual = residuals(w, z, y)
         done = (r_prim <= eps_abs + eps_rel * n_prim) & \
                (r_dual <= eps_dual + eps_rel * n_dual)
-        if s.adaptive_rho:
-            tiny = jnp.asarray(1e-10, dt_)
-            rho_s = op.ladder[rho_idx]
-            ratio = jnp.sqrt(
-                (r_prim / jnp.maximum(n_prim, tiny))
-                / jnp.maximum(r_dual / jnp.maximum(n_dual, tiny), tiny))
-            cand = jnp.clip(rho_s * ratio, s.rho_min, s.rho_max)
-            change = (cand > s.adapt_threshold * rho_s) | \
-                     (cand < rho_s / s.adapt_threshold)
-            cand_idx = jnp.clip(
-                jnp.argmin(jnp.abs(lad_log - jnp.log(cand))),
-                idx_lo, idx_hi)
-            rho_idx = jnp.where(done | ~change, rho_idx, cand_idx)
+        rho_idx = rho_update(rho_idx, done, r_prim, r_dual,
+                             n_prim, n_dual)
         return w, z, y, rho_idx, it + s.check_every, done
 
+    def outer_body_aa(state):
+        (w, z, y, rho_idx, it, _, Fh, Gh, nh, fprev) = state
+        v_in = _pack(w, z, y)
+        rho_before = rho_idx
+        w, z, y = chunk_map(w, z, y, rho_idx)
+        r_prim, r_dual, n_prim, n_dual = residuals(w, z, y)
+        done = (r_prim <= eps_abs + eps_rel * n_prim) & \
+               (r_dual <= eps_dual + eps_rel * n_dual)
+        rho_idx = rho_update(rho_idx, done, r_prim, r_dual,
+                             n_prim, n_dual)
+
+        g_vec = _pack(w, z, y)
+        f = g_vec - v_in
+        fn = jnp.linalg.norm(f)
+        # safeguard: a residual that GREW means the last extrapolation
+        # misled the map — drop the history; a rung change invalidates
+        # it outright (different map)
+        reset = (fn > fprev) | (rho_idx != rho_before)
+        nh = jnp.where(reset, 0, nh)
+        Fh = jnp.roll(Fh, 1, axis=0).at[0].set(f)
+        Gh = jnp.roll(Gh, 1, axis=0).at[0].set(g_vec)
+        nh = jnp.minimum(nh + 1, aa + 1)
+
+        # AA-II on the newest-first rolling history: minimize
+        # ||f - dF theta||, v_next = g - dG theta
+        dF = Fh[:aa] - Fh[1:]
+        dG = Gh[:aa] - Gh[1:]
+        valid = (jnp.arange(aa) < nh - 1).astype(dt_)
+        dFm = dF * valid[:, None]
+        A = dFm @ dFm.T
+        lam = 1e-8 * jnp.trace(A) / aa + jnp.asarray(1e-12, dt_)
+        A = A + lam * jnp.eye(aa, dtype=dt_)
+        theta = jnp.linalg.solve(A, dFm @ f)
+        v_aa = g_vec - theta @ (dG * valid[:, None])
+        # only extrapolate when another chunk will run: the returned
+        # iterate must always be a plain map output (verified by its
+        # own residuals), never an unevaluated extrapolation
+        it = it + s.check_every
+        use_aa = (~done) & (it < s.max_iter) & (nh >= 2)
+        v_next = jnp.where(use_aa, v_aa, g_vec)
+        w, z, y = _unpack(v_next)
+        return (w, z, y, rho_idx, it, done, Fh, Gh, nh,
+                jnp.where(reset, jnp.asarray(jnp.inf, fn.dtype), fn))
+
     def outer_cond(state):
-        it, done = state[-2], state[-1]
+        it, done = state[4], state[5]
         return (it < s.max_iter) & ~done
 
-    state = (w, z, y, rho_idx, jnp.asarray(0), jnp.asarray(False))
-    w, z, y, rho_idx, it, _ = jax.lax.while_loop(
-        outer_cond, outer_body, state)
+    if aa:
+        Fh0 = jnp.zeros((aa + 1, Lv), dt_)
+        state = (w, z, y, rho_idx, jnp.asarray(0), jnp.asarray(False),
+                 Fh0, Fh0, jnp.asarray(0), jnp.asarray(jnp.inf, dt_))
+        out = jax.lax.while_loop(outer_cond, outer_body_aa, state)
+        w, z, y, rho_idx, it = out[0], out[1], out[2], out[3], out[4]
+    else:
+        state = (w, z, y, rho_idx, jnp.asarray(0), jnp.asarray(False))
+        w, z, y, rho_idx, it, _ = jax.lax.while_loop(
+            outer_cond, outer_body, state)
 
     r_prim, r_dual, _, _ = residuals(w, z, y)
     x = _x_of(op, w)

@@ -326,3 +326,32 @@ def test_fused_chunk_matches_xla_path_8agents():
     scale = max(1.0, np.abs(x_ref).max())
     err = np.abs(x_ref - x_fused).max() / scale
     assert err < 5e-5, err
+
+
+def test_aa_depth_converges_tiny():
+    """Chunk-level Anderson acceleration (NSSettings.aa_depth) reaches
+    the same solution as the plain loop on a small banded problem.
+    (At PRODUCTION scale it is measured harmful — see the field's
+    docstring and benchmarks/aa_study_cpu.log — so it ships off; this
+    pins the mechanism itself.)"""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from swarm_simulator_tpu.qp import nullspace
+
+    data, _ = _data(n_agents=3, M=5)
+    s0 = nullspace.NSSettings(kkt_mode="banded", max_iter=300,
+                              check_every=50)
+    op = nullspace.prepare_ns_np(data, s0)
+
+    def solve(s):
+        x, _ = jax.jit(lambda d, o: nullspace.solve_ns_phases(
+            d, (s,), op=o))(jax.tree.map(jnp.asarray, data),
+                            jax.device_put(op))
+        return np.asarray(x)
+
+    x0 = solve(s0)
+    x1 = solve(dataclasses.replace(s0, aa_depth=3))
+    assert np.abs(x0 - x1).max() < 1e-4, np.abs(x0 - x1).max()

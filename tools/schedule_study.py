@@ -30,8 +30,12 @@ def log(*a):
 # whether a faster adaptive-rho walk (check_every 50 -> 25/20) moves
 # the budget knee down: per-iteration cost is identical, so a passing
 # smaller budget is a direct headline win
-SCHEDULES = [(200, 600, 100), (150, 450, 75, 25), (100, 300, 50, 25),
-             (120, 360, 60, 20)]
+# (b1, b2, b3[, check_every[, aa_depth]]) — the AA arms test whether
+# chunk-level Anderson acceleration (NSSettings.aa_depth) moves the
+# budget knee down (the cadence arms alone did not: seed 8 needs the
+# polish iterations, benchmarks/cadence_study_cpu.log)
+SCHEDULES = [(200, 600, 100), (200, 600, 100, 50, 5),
+             (150, 400, 75, 50, 5), (100, 300, 60, 50, 5)]
 
 
 def main():
@@ -56,9 +60,10 @@ def main():
 
     base = ns_settings()
 
-    def phases(b1, b2, b3, ce=None):
-        b = (base if ce is None
-             else dataclasses.replace(base, check_every=ce))
+    def phases(b1, b2, b3, ce=None, aa=0):
+        b = dataclasses.replace(base, aa_depth=aa)
+        if ce is not None:
+            b = dataclasses.replace(b, check_every=ce)
         return (dataclasses.replace(b, max_iter=b1, rho_lo=1e-3),
                 dataclasses.replace(b, max_iter=b2),
                 dataclasses.replace(b, max_iter=b3, rho_lo=1e-2))
