@@ -76,3 +76,36 @@ def test_sweep_artifacts_regression():
     ok_jm = [m for m in jm if m.get("ok")]
     assert len(jm) == 50, len(jm)
     assert len(ok_jm) >= 43, len(ok_jm)
+
+
+def test_production_recipe_pinned():
+    """The production joint recipe is a measured artifact — pin its
+    load-bearing constants so refactors cannot silently drift them:
+    phase budgets (200, 600, 100) = the 10-seed knee
+    (benchmarks/schedule_seeds5-9_cpu.log, cadence_study_cpu.log), the
+    5-rung ladder logspace(1e-5, 1e-2) (rung_usage_cpu.log), banded
+    KKT, and the rho fences."""
+    import numpy as np
+
+    from swarm_simulator_tpu.qp import joint
+
+    s = joint.production_settings()
+    assert s.kkt_mode == "banded"
+    assert (s.n_rungs, s.rho_min, s.rho_max) == (5, 1e-5, 1e-2)
+    assert s.tighten == 2e-3 and s.warm_start == "x0"
+    assert s.aa_depth == 0 and not s.fused_chunk  # measured defaults
+    ladder = np.logspace(np.log10(s.rho_min), np.log10(s.rho_max),
+                         s.n_rungs)
+    old9 = np.logspace(-5, 1, 9)
+    np.testing.assert_allclose(ladder, old9[:5], rtol=1e-12)
+
+    ph = joint.production_phases()
+    assert tuple(p.max_iter for p in ph) == (200, 600, 100)
+    assert (ph[0].rho_lo, ph[1].rho_lo, ph[2].rho_lo) == (1e-3, None,
+                                                          1e-2)
+    # replan schedules derived with kkt_refine must drop the fused
+    # kernel (no fresh-K apply in-kernel)
+    import dataclasses
+    fused = tuple(dataclasses.replace(p, fused_chunk=True) for p in ph)
+    r = joint.production_phases(base=fused[1], kkt_refine=1)
+    assert all(not p.fused_chunk and p.kkt_refine == 1 for p in r)
