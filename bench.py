@@ -242,6 +242,25 @@ def ipm_best_response_batch0(plan, mission, param, final_ctrl):
     return float(0.5 * xo @ (Q @ xo)), dt
 
 
+def tpu_alive(timeout_s: float = 90.0) -> bool:
+    """Probe the axon backend in a SUBPROCESS with a hard timeout.
+
+    The tunnel can die such that jax.devices() hangs forever in-process
+    (observed 2026-08-18); probing in a child keeps this process safe.
+    """
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; jax.config.update('jax_platforms','axon,cpu');"
+             "d=jax.devices(); assert d[0].platform != 'cpu', d"],
+            timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     import os
 
@@ -254,6 +273,14 @@ def main():
         jax.config.update("jax_platforms", "cpu")
         GATE_SEEDS = tuple(
             range(int(os.environ.get("BENCH_SEEDS", "2"))))
+    elif not tpu_alive():
+        # dead tunnel: fall back to CPU so the driver still gets a JSON
+        # line instead of a hung process; mark the artifact clearly
+        log("WARNING: TPU backend unreachable (probe timed out) — "
+            "falling back to CPU. Numbers are NOT the TPU headline.")
+        jax.config.update("jax_platforms", "cpu")
+        GATE_SEEDS = GATE_SEEDS[:2]
+        os.environ["BENCH_DEGRADED"] = "cpu_fallback"
 
     import jax.numpy as jnp
 
@@ -336,7 +363,7 @@ def main():
         f"class)")
 
     m0 = per_seed[GATE_SEEDS[0]][1]
-    print(json.dumps({
+    out = {
         "metric": "plan_cycles_per_s_64agents_forest",
         "value": round(cycles_per_s, 3),
         "unit": "cycles/s",
@@ -344,7 +371,10 @@ def main():
         "gate_seeds": len(GATE_SEEDS),
         "ratio_seed0": m0["ratio"],
         "obj_vs_ipm_b0": round(m0["obj_b0"] / m0["obj_ref"], 3),
-    }))
+    }
+    if os.environ.get("BENCH_DEGRADED"):
+        out["degraded"] = os.environ["BENCH_DEGRADED"]
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
