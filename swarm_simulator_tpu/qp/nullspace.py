@@ -261,11 +261,15 @@ def _inv_spd_np(S):
 
     c, info = dpotrf(S, lower=1, overwrite_a=0)
     if info != 0:
-        return onp.linalg.inv(S)
+        x = onp.linalg.inv(S)
+        return 0.5 * (x + x.T)
     x, info = dpotri(c, lower=1, overwrite_c=1)
     if info != 0:
-        return onp.linalg.inv(S)
-    # potri fills the lower triangle only
+        x = onp.linalg.inv(S)
+        return 0.5 * (x + x.T)
+    # potri fills the lower triangle only (dpotrf clean=1 zeroed the
+    # upper), so mirroring it is EXACTLY symmetric — callers can rely
+    # on bit-level symmetry of the result
     return x + onp.tril(x, -1).T
 
 
@@ -360,29 +364,35 @@ def prepare_ns_np(data: QPData, s: NSSettings) -> NSOp:
     import os
     n_workers = min(4, os.cpu_count() or 1)
 
-    # pair coupling [M, B3, B3] (f64 twin of admm._build_coupling)
+    # pair coupling [M, B3, B3] (f64 twin of admm._build_coupling):
+    # C_m = A_m^T A_m where row p of A_m is Cp[p,:] (x) pn[p,m,:] with
+    # only TWO nonzero agent blocks (bi, bj) — so accumulate the four
+    # 3x3 block contributions per pair directly instead of the dense
+    # [P, B3] dgemm (at 256 agents the dense form was ~1.5e12 f64
+    # FLOPs, the second-largest prep cost; the scatter is O(P*M*9))
     pm = onp.asarray(data.pair_mask, onp.float64)
     bi = onp.asarray(data.pair_bi)
     bj = onp.asarray(data.pair_bj)
     pn = onp.asarray(data.pair_n, onp.float64)        # [P, M, 3]
-    P = pn.shape[0]
-    Cp = onp.zeros((P, B))
-    onp.add.at(Cp, (onp.arange(P), onp.clip(bj, 0, None)),
-               (bj >= 0) * pm)
-    onp.add.at(Cp, (onp.arange(P), onp.clip(bi, 0, None)),
-               -((bi >= 0) * pm))
+    wj = (bj >= 0) * pm
+    wi = -((bi >= 0) * pm)
+    ji = onp.clip(bj, 0, None)
+    ii = onp.clip(bi, 0, None)
+    wjj, wii, wij = wj * wj, wi * wi, wi * wj
     C = onp.zeros((M, B3, B3))
 
     def fill_C(m):
-        # one dgemm per segment, threaded across segments (at 256
-        # agents this is ~1.5e12 f64 FLOPs — the second-largest prep
-        # cost after the rung inversions)
-        A = (Cp[:, :, None] * pn[:, None, m, :]).reshape(P, B3)
-        C[m] = A.T @ A
+        Gp = pn[:, m, :, None] * pn[:, m, None, :]    # [P, 3, 3]
+        C4 = onp.zeros((B, B, 3, 3))
+        onp.add.at(C4, (ji, ji), wjj[:, None, None] * Gp)
+        onp.add.at(C4, (ii, ii), wii[:, None, None] * Gp)
+        Gij = wij[:, None, None] * Gp
+        onp.add.at(C4, (ii, ji), Gij)
+        onp.add.at(C4, (ji, ii), Gij)
+        C[m] = C4.transpose(0, 2, 1, 3).reshape(B3, B3)
 
-    with _blas_single_threaded():
-        with ThreadPoolExecutor(max_workers=n_workers) as ex:
-            list(ex.map(fill_C, range(M)))
+    with ThreadPoolExecutor(max_workers=n_workers) as ex:
+        list(ex.map(fill_C, range(M)))
 
     def finish(**kw):
         # leaves stay HOST numpy (cast once to the problem dtype): the
@@ -408,26 +418,29 @@ def prepare_ns_np(data: QPData, s: NSSettings) -> NSOp:
         NtN_k = WL[1:M] + WR[0:M - 1]
         Ho = c_s * Q01[1:M - 1]
         bs = B3 * phi
-        eyeB3 = onp.eye(B3)
-
-        def kron_b(Cb, Wb):
-            # pure outer product: broadcast-multiply (the einsum
-            # "...ij,...ab->...iajb" form takes np.einsum's naive
-            # un-blocked C loop — measured 14.6 s at 64 agents for what
-            # is a vectorized multiply)
-            out = Cb[..., :, None, :, None] * Wb[..., None, :, None, :]
-            return out.reshape(out.shape[:-4] + (bs, bs))
-
         sigI = s.sigma * onp.eye(phi)
-        base_d = kron_b(onp.repeat(eyeB3[None], Mi, 0), Hd + sigI)
-        rho_d = kron_b(onp.repeat(eyeB3[None], Mi, 0), NtN_k) \
-            + kron_b(C[1:M], WL[1:M]) + kron_b(C[0:M - 1], WR[0:M - 1])
+        Hds = Hd + sigI                     # [Mi, phi, phi]
+        C1, C0 = C[1:M], C[0:M - 1]         # [Mi, B3, B3]
+        WL1, WR0 = WL[1:M], WR[0:M - 1]     # [Mi, phi, phi]
+        diag_idx = onp.arange(B3)
+
+        def make_Kd(k, rho):
+            # kron(C1, WL1) + kron(C0, WR0) scaled by rho, plus the
+            # block-diagonal kron(I, Hd+sigI+rho*NtN) — formed per
+            # (rung, knot) as one [bs, bs] transient.  Replaces the
+            # materialized [Mi, bs, bs] base_d/rho_d Kronecker
+            # operands (3.7 s + ~190 MB at 64 agents, multi-GB at 256)
+            K4 = C1[k][:, None, :, None] * (rho * WL1[k])[None, :,
+                                                          None, :]
+            K4 += C0[k][:, None, :, None] * (rho * WR0[k])[None, :,
+                                                           None, :]
+            K4[diag_idx, :, diag_idx, :] += Hds[k] + rho * NtN_k[k]
+            return K4.reshape(bs, bs)
 
         # pivot inventory stored directly in the problem dtype (the
         # chain itself stays f64): at 256 agents the f64 inventory is
         # 13.4 GB — storing rounded blocks halves peak RSS
         Dinvs = onp.zeros((len(ladder), Mi, bs, bs), dtype=dt_)
-        sand_path = None  # einsum contraction path, computed once
 
         def fill_rung(r):
             # rungs are independent; LAPACK/BLAS release the GIL, so a
@@ -438,29 +451,24 @@ def prepare_ns_np(data: QPData, s: NSSettings) -> NSOp:
             # 243 s before this configuration, ~3 s after).  Kd is
             # formed per KNOT so each thread's transient is one
             # [bs, bs] block, not the full [Mi, bs, bs] operand
-            nonlocal sand_path
             rho = ladder[r]
-            Dprev = _inv_spd_np(base_d[0] + rho * rho_d[0])
-            Dinvs[r, 0] = 0.5 * (Dprev + Dprev.T)
+            Dprev = _inv_spd_np(make_Kd(0, rho))
+            Dinvs[r, 0] = Dprev
             for k in range(1, Mi):
-                Dr = Dprev.reshape(B3, phi, B3, phi)
-                # optimize=: route the sandwich through two BLAS
-                # tensordots (the single naive c_einsum call measured
-                # 0.12 s vs ~1 ms as matmuls)
-                if sand_path is None:
-                    sand_path = onp.einsum_path(
-                        "ai,xayb,bj->xiyj", Ho[k - 1], Dr, Ho[k - 1],
-                        optimize="optimal")[0]
-                sand = onp.einsum("ai,xayb,bj->xiyj", Ho[k - 1], Dr,
-                                  Ho[k - 1],
-                                  optimize=sand_path).reshape(bs, bs)
-                Dprev = _inv_spd_np(base_d[k] + rho * rho_d[k]
-                                    - sand)
-                # the pivots are inverses of SPD Schur complements —
-                # symmetrize (in f64, before the dtype rounding) so
+                # sandwich (I (x) Ho)^T Dprev (I (x) Ho) as
+                # [B3, B3]-batched phi x phi matmuls (the
+                # einsum/tensordot form spent ~7 ms/knot in reshape
+                # copies for a 4-MFLOP contraction)
+                D4 = Dprev.reshape(B3, phi, B3,
+                                   phi).transpose(0, 2, 1, 3)
+                s4 = Ho[k - 1].T @ D4 @ Ho[k - 1]
+                sand = s4.transpose(0, 2, 1, 3).reshape(bs, bs)
+                Dprev = _inv_spd_np(make_Kd(k, rho) - sand)
+                # _inv_spd_np returns an EXACTLY symmetric matrix, so
                 # row-vector matvecs (v @ Dinv, the Pallas Thomas
-                # kernel's layout) are exactly the column form
-                Dinvs[r, k] = 0.5 * (Dprev + Dprev.T)
+                # kernel's layout) equal the column form without a
+                # second symmetrization pass
+                Dinvs[r, k] = Dprev
 
         # one worker per core, not per rung: 9 concurrent chains thrash
         # the shared cache (measured 10.2-13.4 s vs 9.3-10.3 s at 64
