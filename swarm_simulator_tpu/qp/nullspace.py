@@ -470,12 +470,16 @@ def prepare_ns_np(data: QPData, s: NSSettings) -> NSOp:
                 # second symmetrization pass
                 Dinvs[r, k] = Dprev
 
-        # one worker per core, not per rung: 9 concurrent chains thrash
-        # the shared cache (measured 10.2-13.4 s vs 9.3-10.3 s at 64
-        # agents on 4 cores)
+        # worker count: with 5 rungs on 4 cores, one-worker-per-core
+        # leaves a straggler round (wall = 2 chains); oversubscribing
+        # to one worker PER RUNG timeslices all chains concurrently
+        # (wall ~ 5/4 chain, measured 3.13 -> 2.73 s at 64 agents).
+        # Only mild oversubscription: 9 concurrent chains thrash the
+        # shared cache (round-2 measured 10.2-13.4 s vs 9.3-10.3 s)
+        rung_workers = (len(ladder) if len(ladder) <= n_workers + 2
+                        else n_workers)
         with _blas_single_threaded():
-            with ThreadPoolExecutor(
-                    max_workers=min(len(ladder), n_workers)) as ex:
+            with ThreadPoolExecutor(max_workers=rung_workers) as ex:
                 list(ex.map(fill_rung, range(len(ladder))))
         if s.fused_chunk:
             if s.thomas_kernel:
