@@ -76,7 +76,7 @@ def fused_vmem_bytes(B: int, M: int, P: int) -> int:
     PL = _ceil(max(P, 1), LANE)
     dbuf = Mi * 3 * B3 * GW * 4
     pair = 9 * D * PL * 4          # ndT(3) + z/y/l in+out + temporaries
-    skt = 3 * B3 * PL * 4          # f32 VMEM input (cast to bf16 in-kernel)
+    skt = 2 * 3 * B3 * PL * 4      # skT + skB f32 (cast to bf16 in-kernel)
     box = 10 * D * _ceil(B3, LANE) * 4
     rows = 6 * Mi * GW * 4
     return dbuf + pair + skt + box + rows + (1 << 22)
@@ -157,7 +157,7 @@ def pair_untile(t: jnp.ndarray, P: int) -> jnp.ndarray:
 
 
 def _kernel(rho_ref, d6_ref, scal_ref, xpin_ref, g_ref, lb_ref, ub_ref,
-            ndT_ref, skT_ref, pl_ref, w_ref, zb_ref, zp_ref, yb_ref,
+            ndT_ref, skT_ref, skB_ref, pl_ref, w_ref, zb_ref, zp_ref, yb_ref,
             yp_ref, wo_ref, zbo_ref, zpo_ref, ybo_ref, ypo_ref,
             dbuf, sem, eye_ref, t_ref, y_ref, wt_ref,
             *, n_inner: int, Mi: int, B3: int, phi: int, M: int,
@@ -204,11 +204,22 @@ def _kernel(rho_ref, d6_ref, scal_ref, xpin_ref, g_ref, lb_ref, ub_ref,
                                           preferred_element_type=f32)
         return d(a0) + d(a1) + d(a2)
 
+    # both contractions are standard [M, K] @ [K, N]: Mosaic rejects
+    # bf16 dot_generals that contract rhs dim 1 ("Bad lhs type"), so the
+    # backward apply uses a pre-transposed selection operand skB
     dn_fwd = (((1,), (0,)), ((), ()))   # [D, B3] @ [B3, PL]
-    dn_bwd = (((1,), (1,)), ((), ()))   # [D, PL] @ [B3, PL]^T
 
     def grp(row, f):
         return row[:, f * GROUP:f * GROUP + B3]
+
+    def grp0(row, f):
+        # group f materialized at LANE OFFSET 0: Mosaic cannot broadcast
+        # a slice living at a non-zero lane offset along sublanes
+        # (vector.broadcast relayout fails), so rotate the row first
+        # (tools/pallas_debug/mosaic_patterns.py P10)
+        if f == 0:
+            return row[:, :B3]
+        return jnp.roll(row, -f * GROUP, axis=1)[:, :B3]
 
     def tcol(row192):
         # [1, B3] row -> [B3, 1] column (VPU transpose via identity)
@@ -218,17 +229,23 @@ def _kernel(rho_ref, d6_ref, scal_ref, xpin_ref, g_ref, lb_ref, ub_ref,
         # [1, GW] -> [1, GW]: all output groups at once per input group
         acc = jnp.zeros((1, GW), f32)
         for f in range(phi):
-            col = tcol(grp(y_row, f))
+            col = tcol(grp0(y_row, f))
             acc = acc + jnp.sum(dbuf[k, f] * col, axis=0, keepdims=True)
         return acc
 
     def ho_comb(row, coef):
-        # out group a = sum_c coef[a][c] * grp(row, c)
-        out = jnp.zeros((1, GW), f32)
+        # out group a = sum_c coef[a][c] * grpG(row, c), assembled by
+        # lane concat of full-GROUP slices (dynamic_update_slice on
+        # values does not lower in Mosaic TC kernels — probed in
+        # tools/pallas_debug/mosaic_patterns.py); padding lanes
+        # [B3, GROUP) are zero on input so linear combos keep them zero
+        parts = []
         for a in range(phi):
-            v = sum(coef[a][c] * grp(row, c) for c in range(phi))
-            out = jax.lax.dynamic_update_slice(out, v, (0, a * GROUP))
-        return out
+            v = coef[a][0] * row[:, 0:GROUP]
+            for c in range(1, phi):
+                v = v + coef[a][c] * row[:, c * GROUP:(c + 1) * GROUP]
+            parts.append(v)
+        return jnp.concatenate(parts, axis=1)
 
     HoT = [[Ho[f][fp] for f in range(phi)] for fp in range(phi)]
 
@@ -265,17 +282,21 @@ def _kernel(rho_ref, d6_ref, scal_ref, xpin_ref, g_ref, lb_ref, ub_ref,
         at = rxb
         for k in range(phi):
             contrib = ndT_ref[k] * rxp
-            at = at + dot3(contrib, skT_ref[k].astype(bf), dn_bwd)
-        # rhs_w rows = sigma w - g + N^T at
+            at = at + dot3(contrib, skB_ref[k].astype(bf), dn_fwd)
+        # rhs_w rows = sigma w - g + N^T at, assembled group-by-group
+        # via lane concat (no value dynamic_update_slice in Mosaic)
         at4 = at.reshape(M, npp, B3)
-        rhs = sigma * w - g_ref[:]
+        base = sigma * w - g_ref[:]
+        parts = []
         for f in range(phi):
             v = jnp.zeros((Mi, B3), f32)
             for i in range(phi):
                 v = v + L[i][f] * at4[1:M, i, :]
                 v = v + Rm[i][f] * at4[0:M - 1, phi + i, :]
-            rhs = jax.lax.dynamic_update_slice(
-                rhs, grp(rhs, f) + v, (0, f * GROUP))
+            if B3 < GROUP:
+                v = jnp.pad(v, ((0, 0), (0, GROUP - B3)))
+            parts.append(base[:, f * GROUP:(f + 1) * GROUP] + v)
+        rhs = jnp.concatenate(parts, axis=1)
         # w_t = K^{-1} rhs (resident-pivot Thomas).  rhs is staged in
         # t_ref and SAFELY aliased with the T rows: forward step k
         # reads rhs[k] strictly after it overwrites slot k-1 (whose rhs
@@ -283,14 +304,21 @@ def _kernel(rho_ref, d6_ref, scal_ref, xpin_ref, g_ref, lb_ref, ub_ref,
         t_ref[:] = rhs
         thomas(t_ref)
         w_t = wt_ref[:]
-        # x_t = x_pin + N w_t
+        # x_t = x_pin + N w_t: the N-apply delta is assembled as
+        # [M, 1, B3] pieces concatenated along the middle dim (scatter-
+        # add on values does not lower in Mosaic TC kernels)
         x4 = xpin_ref[:].reshape(M, npp, B3)
+        zero1 = jnp.zeros((1, B3), f32)
+        dparts = []
         for i in range(phi):
             vl = sum(L[i][f] * grp(w_t, f) for f in range(phi))
+            dparts.append(
+                jnp.concatenate([zero1, vl], axis=0)[:, None, :])
+        for i in range(phi):
             vr = sum(Rm[i][f] * grp(w_t, f) for f in range(phi))
-            x4 = x4.at[1:M, i, :].add(vl)
-            x4 = x4.at[0:M - 1, phi + i, :].add(vr)
-        xt = x4.reshape(D, B3)
+            dparts.append(
+                jnp.concatenate([vr, zero1], axis=0)[:, None, :])
+        xt = (x4 + jnp.concatenate(dparts, axis=1)).reshape(D, B3)
         # ax pair
         axp = jnp.zeros((D, PL), f32)
         for k in range(phi):
@@ -315,7 +343,7 @@ class FusedOperands:
     """Static kernel operands for one problem (built once per solve)."""
 
     def __init__(self, d6, scal, xpin, g_rows, lb_t, ub_t, ndT, skT,
-                 pl_t, dims):
+                 skB, pl_t, dims):
         self.d6 = d6
         self.scal = scal
         self.xpin = xpin
@@ -324,12 +352,13 @@ class FusedOperands:
         self.ub_t = ub_t
         self.ndT = ndT
         self.skT = skT
+        self.skB = skB
         self.pl_t = pl_t
         self.dims = dims
 
     def tree(self):
         return (self.d6, self.scal, self.xpin, self.g_rows, self.lb_t,
-                self.ub_t, self.ndT, self.skT, self.pl_t)
+                self.ub_t, self.ndT, self.skT, self.skB, self.pl_t)
 
 
 def build_operands(data, op, pop, l, u, phi: int) -> FusedOperands:
@@ -374,17 +403,19 @@ def build_operands(data, op, pop, l, u, phi: int) -> FusedOperands:
     skT = jnp.zeros((phi, B3, PL), f32)
     for k in range(K3):
         skT = skT.at[k, k::K3, :P].set(pop.S.astype(f32).T)
+    skB = jnp.swapaxes(skT, 1, 2)                     # [phi, PL, B3]
     dims = dict(Mi=Mi, B3=B3, phi=phi, M=M, npp=npp, PL=PL, B=B, K3=K3,
                 P=P, D=D)
     return FusedOperands(d6, scal, xpin, g_rows, lb_t, ub_t,
-                         ndT, skT, pl_t, dims)
+                         ndT, skT, skB, pl_t, dims)
 
 
 @functools.partial(jax.jit, static_argnames=("n_inner", "dims_key",
                                              "interpret"))
 def _chunk_jit(rho_idx, operands, sigma, alpha, w_rows, zb, zp, yb, yp,
                n_inner: int, dims_key, interpret: bool = False):
-    (d6, scal, xpin, g_rows, lb_t, ub_t, ndT, skT, pl_t) = operands
+    (d6, scal, xpin, g_rows, lb_t, ub_t, ndT, skT, skB,
+     pl_t) = operands
     dims = dict(dims_key)
     Mi, B3, phi = dims["Mi"], dims["B3"], dims["phi"]
     M, npp, PL = dims["M"], dims["npp"], dims["PL"]
@@ -403,6 +434,7 @@ def _chunk_jit(rho_idx, operands, sigma, alpha, w_rows, zb, zp, yb, yp,
             pl.BlockSpec(memory_space=pltpu.VMEM),    # ub
             pl.BlockSpec(memory_space=pltpu.VMEM),    # ndT
             pl.BlockSpec(memory_space=pltpu.VMEM),    # skT
+            pl.BlockSpec(memory_space=pltpu.VMEM),    # skB
             pl.BlockSpec(memory_space=pltpu.VMEM),    # pair l
             pl.BlockSpec(memory_space=pltpu.VMEM),    # w
             pl.BlockSpec(memory_space=pltpu.VMEM),    # zb
@@ -436,7 +468,7 @@ def _chunk_jit(rho_idx, operands, sigma, alpha, w_rows, zb, zp, yb, yp,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
     )(jnp.asarray(rho_idx, jnp.int32).reshape(1), d6, scal, xpin,
-      g_rows, lb_t, ub_t, ndT, skT, pl_t, w_rows, zb, zp, yb, yp)
+      g_rows, lb_t, ub_t, ndT, skT, skB, pl_t, w_rows, zb, zp, yb, yp)
 
 
 def run_chunk(ops_f: FusedOperands, rho_idx, sigma, alpha, w, z, y,

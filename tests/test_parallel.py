@@ -252,6 +252,11 @@ def test_distributed_two_process_execution():
     worker = Path(__file__).parent / "distributed_worker.py"
 
     env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    # the worker imports the package from the repo checkout — do not
+    # depend on it being pip-installed in the venv
+    repo_root = str(Path(__file__).parent.parent)
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in (repo_root, env.get("PYTHONPATH")) if p)
     procs = [subprocess.Popen(
         [sys.executable, str(worker), coord, "2", str(pid)],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
