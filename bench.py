@@ -81,8 +81,10 @@ def build_problem(seed: int = 0, forest: bool = True):
     plan = plan_initial_trajectories(esdf, mission, param)
     t1 = time.perf_counter()
     build_corridors(esdf, plan, mission.radius, param)
+    t2 = time.perf_counter()
     log(f"seed {seed}: search {t1 - t0:.2f}s corridor "
-        f"{time.perf_counter() - t1:.2f}s M={plan.M}")
+        f"{t2 - t1:.2f}s M={plan.M}")
+    plan.stage_s = {"search": t1 - t0, "corridor": t2 - t1}
     return plan, mission, param
 
 
@@ -139,15 +141,25 @@ def gate_quality(ctrl, plan, mission, param, obj_ref=None, obj_b0=None,
                  obj_tol=1.25):
     """Full acceptance gate on solved control points [N, M, n+1, 3].
 
+    Checks, mirroring the reference's acceptance surface:
+      * collision ratio (rbp_publisher.hpp:769-798)
+      * C^0/C^2 knot continuity + endpoint pins
+      * SFC box containment of every control point
+      * DYNAMIC LIMITS after time scaling (timeScale,
+        rbp_planner.hpp:209-266): compute the global time-scale factor,
+        apply it, and verify by dense sampling that max_vel/max_acc hold
+        on the SCALED trajectory — the trajectory the reference would
+        actually publish.
+
     obj_ref: optional jerk objective of the f64 IPM best-response optimum
-    for batch 0; when given, the gate also demands our batch-0 objective
-    (obj_b0) within obj_tol of it."""
+    for one agent batch; when given, the gate also demands our objective
+    for those agents (obj_b0) within obj_tol of it."""
     import jax.numpy as jnp
 
     from swarm_simulator_tpu.eval.safety import safety_margin_ratio
     from swarm_simulator_tpu.eval.sample import (sample_times,
                                                  sample_trajectories)
-    from swarm_simulator_tpu.qp import convert
+    from swarm_simulator_tpu.qp import convert, timescale
 
     dm = np.asarray(ctrl, dtype=np.float64)
     coef = convert.ctrl_to_coef(dm, plan.T, param.n)
@@ -172,10 +184,32 @@ def gate_quality(ctrl, plan, mission, param, obj_ref=None, obj_b0=None,
     viol = float(np.maximum(boxes[:, :, None, :3] - dm,
                             dm - boxes[:, :, None, 3:]).max())
 
+    # dynamic limits post-timescale: scale as the reference would
+    # (rbp_planner.hpp:209-266; time scaling keeps the path geometry, so
+    # the collision ratio above is invariant), then VERIFY independently
+    # by dense per-axis sampling of the scaled trajectory
+    scale = timescale.compute_time_scale(coef, plan.T, mission.max_vel,
+                                         mission.max_acc, param.n,
+                                         param.phi)
+    coef_s, T_s = timescale.apply_time_scale(coef, plan.T, scale, param.n)
+    ts_s = sample_times(np.asarray(T_s), 0.1)
+    pva = np.asarray(sample_trajectories(
+        jnp.asarray(coef_s), jnp.asarray(np.asarray(T_s)),
+        jnp.asarray(ts_s), n=param.n, derivatives=3))
+    vel_frac = float((np.abs(pva[:, :, 1]).max(axis=1)
+                      / np.asarray(mission.max_vel)).max())
+    acc_frac = float((np.abs(pva[:, :, 2]).max(axis=1)
+                      / np.asarray(mission.max_acc)).max())
+
     m = dict(ratio=ratio, cont0=cont[0], cont2=cont[2],
-             endpoints=max(start_err, goal_err), box_viol=viol)
+             endpoints=max(start_err, goal_err), box_viol=viol,
+             time_scale=scale, vel_frac=vel_frac, acc_frac=acc_frac)
+    # vel/acc bound 1.0 + slack: compute_time_scale bounds the true
+    # polynomial extrema (root-based), the dense 0.1 s sampling can only
+    # see less — the tiny slack covers f.p. rounding of the rescale
     ok = (ratio >= 1.0 and cont[0] < 1e-3 and cont[2] < 5e-3
-          and m["endpoints"] < 1e-4 and viol < 1e-3)
+          and m["endpoints"] < 1e-4 and viol < 1e-3
+          and vel_frac <= 1.0 + 1e-9 and acc_frac <= 1.0 + 1e-9)
 
     if obj_ref is not None:
         m["obj_b0"] = obj_b0
@@ -184,13 +218,13 @@ def gate_quality(ctrl, plan, mission, param, obj_ref=None, obj_b0=None,
     return ok, m
 
 
-def batch0_objective(dm, plan, mission, param):
-    """Jerk objective of the first reference batch's agents (0..3)."""
+def batch0_objective(dm, plan, mission, param, b_idx: int = 0):
+    """Jerk objective of reference batch b_idx's agents."""
     from swarm_simulator_tpu.parallel import seqbatch
     from swarm_simulator_tpu.qp import assemble
 
     batches, _ = seqbatch.make_batches(mission.qn, param)
-    agents = batches[0]
+    agents = batches[b_idx]
     dummy = assemble.build_dummy(plan.init_traj, param.n)
     data0 = assemble.assemble_batch(plan, mission, param, agents, dummy,
                                     device=False)
@@ -199,14 +233,24 @@ def batch0_objective(dm, plan, mission, param):
     return float(np.einsum("bmik,mij,bmjk->", c, Qseg, c) * 0.5), data0
 
 
-def ipm_best_response_batch0(plan, mission, param, final_ctrl):
-    """f64 IPM optimum of batch 0's best-response QP: agents 0..3 free,
-    everyone else fixed at OUR final trajectories (the pair rhs refreshed
-    from them).  The per-solve quality yardstick and the CPLEX-class
-    timing baseline.  Uses the reduced (equality-eliminated) barrier —
-    the FASTEST honest f64 denominator we can produce (a slow stand-in
-    would inflate vs_baseline); its optimum is still verified by the
-    full-space KKT residual check.  Returns (objective, seconds/solve)."""
+def oracle_batch(seed: int, n_batches: int) -> int:
+    """Which agent batch the IPM best-response oracle checks for a gate
+    seed.  Rotates with a stride co-prime to 16 so the 5 gate seeds
+    cover 5 DISTINCT batches (0, 7, 14, 5, 12) instead of always batch
+    0 — round-2 VERDICT: the objective gate covered 4 of 64 agents."""
+    return (seed * 7) % n_batches
+
+
+def ipm_best_response_batch0(plan, mission, param, final_ctrl,
+                             b_idx: int = 0):
+    """f64 IPM optimum of batch b_idx's best-response QP: its 4 agents
+    free, everyone else fixed at OUR final trajectories (the pair rhs
+    refreshed from them).  The per-solve quality yardstick and the
+    CPLEX-class timing baseline.  Uses the reduced
+    (equality-eliminated) barrier — the FASTEST honest f64 denominator
+    we can produce (a slow stand-in would inflate vs_baseline); its
+    optimum is still verified by the full-space KKT residual check.
+    Returns (objective, seconds/solve)."""
     import jax
 
     from swarm_simulator_tpu.parallel import seqbatch
@@ -215,7 +259,8 @@ def ipm_best_response_batch0(plan, mission, param, final_ctrl):
     batches, _ = seqbatch.make_batches(mission.qn, param)
     dummy = np.asarray(final_ctrl, np.float64)
     with jax.default_device(jax.devices("cpu")[0]):
-        data0 = assemble.assemble_batch(plan, mission, param, batches[0],
+        data0 = assemble.assemble_batch(plan, mission, param,
+                                        batches[b_idx],
                                         dummy, device=False)
         data0 = jax.tree.map(
             lambda x: np.asarray(x, np.float64)
@@ -315,32 +360,40 @@ def main():
         t0 = time.perf_counter()
         # host-f64 KKT prep, rounded once to f32 (see prepare_ns_np):
         # dummy-independent, so production replans amortize it
-        op_dev = jax.device_put(nullspace.prepare_ns_np(data, phases[0]))
-        log(f"seed {seed}: host-f64 prep+transfer "
-            f"{time.perf_counter() - t0:.1f}s")
+        op = nullspace.prepare_ns_np(data, phases[0])
+        op_dev = jax.device_put(op)
+        prep_s = time.perf_counter() - t0
+        log(f"seed {seed}: host-f64 prep+transfer {prep_s:.1f}s")
         t0 = time.perf_counter()
         ctrl, info = run_cycle(data_dev, op_dev, plan.M, param.n + 1)
         log(f"seed {seed}: cycle (incl. compile on first) "
             f"{time.perf_counter() - t0:.1f}s iters={int(info.iters)} "
             f"rp={float(info.r_prim):.1e}")
-        obj_b0, _ = batch0_objective(ctrl, plan, mission, param)
+        # rotate the best-response oracle batch across seeds so the
+        # objective gate covers distinct agents (round-2 VERDICT weak #2)
+        from swarm_simulator_tpu.parallel import seqbatch
+        n_batches = len(seqbatch.make_batches(mission.qn, param)[0])
+        b_idx = oracle_batch(seed, n_batches)
+        obj_b0, _ = batch0_objective(ctrl, plan, mission, param, b_idx)
         obj_ref, ipm_s = ipm_best_response_batch0(plan, mission, param,
-                                                  ctrl)
-        log(f"seed {seed}: IPM best-response obj={obj_ref:.4f} "
-            f"ours={obj_b0:.4f} ({ipm_s:.1f}s/IPM solve f64 CPU)")
+                                                  ctrl, b_idx)
+        log(f"seed {seed}: IPM best-response batch {b_idx} "
+            f"obj={obj_ref:.4f} ours={obj_b0:.4f} "
+            f"({ipm_s:.1f}s/IPM solve f64 CPU)")
         ok, m = gate_quality(ctrl, plan, mission, param, obj_ref, obj_b0)
         log(f"seed {seed}: gate={'OK' if ok else 'FAIL'} {m}")
         per_seed[seed] = (ok, m)
         if seed == GATE_SEEDS[0]:
             first = dict(data_dev=data_dev, op_dev=op_dev, plan=plan,
-                         ipm_s=ipm_s)
+                         ipm_s=ipm_s, prep_s=prep_s, op=op,
+                         iters=int(info.iters))
         if not ok:
             log(f"seed {seed} FAILED the gate — benchmark aborts "
                 f"(no timing without quality)")
             print(json.dumps({
                 "metric": "plan_cycles_per_s_64agents_forest",
                 "value": 0.0, "unit": "cycles/s", "vs_baseline": 0.0,
-                "gate_failed_seed": seed, **m}))
+                "gate_failed_seed": seed, "oracle_batch": b_idx, **m}))
             return
 
     # ---- timing on seed 0 (quality already verified on all seeds) ----
@@ -362,6 +415,37 @@ def main():
         f"x 16 batches -> {base_cycle_s:.1f}s/cycle (single CPU core "
         f"class)")
 
+    # ---- utilization: achieved HBM GB/s vs the measured ceiling ----
+    # bytes model (see ARCHITECTURE.md roofline): the banded iteration
+    # streams the active rung's pivot inventory twice per KKT apply
+    # (Thomas fwd+bwd; measured 359 us per ~90 MB apply = the ~250 GB/s
+    # empirical ceiling).  The fused VMEM kernel instead DMAs the rung
+    # inventory ONCE per check_every-sized chunk.
+    op = first["op"]
+    iters = first["iters"]
+    d = np.asarray(op.Dinvs)
+    if d.ndim == 5:          # grouped (fused kernel) layout [R,Mi,phi,B3,GW]
+        rung_bytes = d[0].nbytes
+        bytes_cycle = rung_bytes * max(1, iters // CHECK_EVERY)
+        path = "fused"
+    else:                    # flat layout [R, Mi, bs, bs]
+        rung_bytes = d[0].nbytes
+        bytes_cycle = 2.0 * rung_bytes * iters
+        path = "xla-scan"
+    gbps = bytes_cycle / dt_cycle / 1e9
+    ceiling = 250.0          # GB/s, measured (tools/pallas_debug)
+    log(f"utilization ({path}): {bytes_cycle / 1e9:.1f} GB pivot stream "
+        f"per cycle -> {gbps:.0f} GB/s achieved "
+        f"({100 * gbps / ceiling:.0f}% of the {ceiling:.0f} GB/s "
+        f"measured ceiling)")
+
+    # cold cycle: everything a first plan pays (search + corridor +
+    # assemble/prep/transfer + solve); warm = solve-only on the
+    # device-resident operator (round-2 VERDICT: report both)
+    stage = getattr(first["plan"], "stage_s", {})
+    cycle_cold_s = (stage.get("search", 0.0) + stage.get("corridor", 0.0)
+                    + first["prep_s"] + dt_cycle)
+
     m0 = per_seed[GATE_SEEDS[0]][1]
     out = {
         "metric": "plan_cycles_per_s_64agents_forest",
@@ -370,7 +454,14 @@ def main():
         "vs_baseline": round(cycles_per_s * base_cycle_s, 1),
         "gate_seeds": len(GATE_SEEDS),
         "ratio_seed0": m0["ratio"],
-        "obj_vs_ipm_b0": round(m0["obj_b0"] / m0["obj_ref"], 3),
+        "obj_vs_ipm": round(m0["obj_b0"] / m0["obj_ref"], 3),
+        "oracle_batches": [oracle_batch(s, 16) for s in GATE_SEEDS],
+        "cycle_warm_s": round(dt_cycle, 3),
+        "cycle_cold_s": round(cycle_cold_s, 3),
+        "time_scale_seed0": m0["time_scale"],
+        "kkt_path": path,
+        "gbps_achieved": round(gbps, 1),
+        "pct_of_bw_ceiling": round(100 * gbps / ceiling, 1),
     }
     if os.environ.get("BENCH_DEGRADED"):
         out["degraded"] = os.environ["BENCH_DEGRADED"]

@@ -96,7 +96,15 @@ def prep_pivots_grouped(dinvs, phi: int):
     """[R, Mi, bs, bs] flat pivots -> [R, Mi, phi, B3, GW] group-padded
     (once at operator prep; numpy or jax array — the host prep calls
     with numpy, the device prep under jit with jnp).  bs ordering is
-    (b3, f) f-minor (see prepare_ns_np)."""
+    (b3, f) f-minor (see prepare_ns_np).
+
+    INVARIANT (relied on by the kernel's ho_comb linear combinations):
+    the pad lanes [B3, GROUP) of every f'-group are ZERO.  Every row
+    producer feeding the kernel maintains it — this zero-fill here,
+    rows_from_state's zero-padded groups, and the in-kernel updates
+    (pure linear combinations of zero-padded rows, e.g.
+    w_new = alpha*w_t + (1-alpha)*w).  A producer that writes nonzero
+    pad lanes would silently corrupt ho_comb's combos."""
     R, Mi, bs, _ = dinvs.shape
     B3 = bs // phi
     GW = phi * GROUP
@@ -198,10 +206,17 @@ def _kernel(rho_ref, d6_ref, scal_ref, xpin_ref, g_ref, lb_ref, ub_ref,
         return a0.astype(bf), a1.astype(bf), a2.astype(bf)
 
     def dot3(a, s_bf, dn):
-        # a f32 (split 3-way), s exact in bf16 (0/+-1 entries)
+        # a f32 (split 3-way), s exact in bf16 (0/+-1 entries).
+        # precision MUST be pinned to DEFAULT: the enclosing solve runs
+        # under default_matmul_precision("highest"), which Mosaic
+        # rejects for bf16 operands ("Bad lhs type" at contract
+        # precision fp32 — first seen compiling on the real v5e).  The
+        # f32 accumulation comes from preferred_element_type, not the
+        # contract precision; the 3-way split supplies the accuracy.
+        d = lambda u: jax.lax.dot_general(
+            u, s_bf, dn, precision=jax.lax.Precision.DEFAULT,
+            preferred_element_type=f32)
         a0, a1, a2 = split3(a)
-        d = lambda u: jax.lax.dot_general(u, s_bf, dn,
-                                          preferred_element_type=f32)
         return d(a0) + d(a1) + d(a2)
 
     # both contractions are standard [M, K] @ [K, N]: Mosaic rejects

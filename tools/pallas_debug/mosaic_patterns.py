@@ -7,8 +7,6 @@ row build must go through concat/stack/pad patterns that ARE.
 Usage: python tools/pallas_debug/mosaic_patterns.py
 Prints PASS/FAIL per pattern with the first error line.
 """
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
