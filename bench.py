@@ -112,10 +112,11 @@ def ns_phases():
     """Production phased rho schedule (qp/joint.py production_phases):
     feasibility-first -> deep objective polish -> feasibility restore.
 
-    BENCH_FUSED=1 additionally runs every phase through the
-    VMEM-resident fused chunk kernel (ops/pallas_nsfused.py) — opt-in
-    until its compiled-TPU timing is recorded (tools/fused_bench.py);
-    the gate verifies quality either way.
+    The VMEM-resident fused chunk kernel (ops/pallas_nsfused.py) is the
+    production default on accelerator backends — MEASURED 4.17x the XLA
+    scan path on the real v5e (tools/fused_bench.py: 0.345 s -> 0.083 s
+    per gate-passing 64-agent cycle).  BENCH_XLA=1 forces the XLA scan
+    path for comparison runs; the gate verifies quality either way.
 
     Budgets re-tuned AFTER the host-f64 KKT prep landed
     (tools/schedule_study.py): (200, 600, 100) passes TEN forest seeds
@@ -125,16 +126,12 @@ def ns_phases():
     the schedule sits at the knee with headroom
     (benchmarks/schedule_seeds5-9_cpu.log).  The pre-f64-prep budgets
     (400, 1200, 200) are 2x more iterations for the same gate outcome."""
-    import dataclasses
     import os
 
     from swarm_simulator_tpu.qp import joint
 
-    phases = joint.production_phases(base=ns_settings())
-    if os.environ.get("BENCH_FUSED"):
-        phases = tuple(dataclasses.replace(p, fused_chunk=True)
-                       for p in phases)
-    return phases
+    fused = False if os.environ.get("BENCH_XLA") else None
+    return joint.production_phases(base=ns_settings(), fused=fused)
 
 
 def gate_quality(ctrl, plan, mission, param, obj_ref=None, obj_b0=None,

@@ -56,6 +56,46 @@ def prep_scenarios(scenarios: list[Scenario], param: Param,
         return list(pool.map(prep, scenarios))
 
 
+#: segment-count quantum for scenario bucketing: pad every plan's M up
+#: to the next multiple, so a Monte-Carlo sweep whose makespans span
+#: e.g. 33-40 compiles ONE executable instead of one per distinct M
+#: (round-2 finding: the 16-scenario run spent most of its 409 s wall
+#: in per-(M, qn)-bucket compiles)
+M_BUCKET = 8
+
+
+def quantize_M(M: int, bucket: int = M_BUCKET) -> int:
+    return -(-M // bucket) * bucket
+
+
+def pad_plan_segments(plan: PlanResult, M_target: int) -> PlanResult:
+    """Extend a plan to M_target segments by APPENDING hold-at-goal
+    segments — the same relaxation the reference already applies when
+    it pads every path to makespan+3 with the goal repeated
+    (ecbs_planner.hpp:49-70), taken k steps further so scenarios share
+    a compiled shape.  Semantics: the padded problem gives agents MORE
+    time (T grows by k uniform steps); every safety property is
+    preserved (the last SFC box contains the held goal, the last RSFC
+    normal separates the goal positions it was built from), and the
+    goal-state pin moves to the new final knot."""
+    M = plan.M
+    if M_target <= M:
+        return plan
+    k = M_target - M
+
+    def rep_last(a, axis):
+        last = np.take(a, [-1], axis=axis)
+        return np.concatenate([a] + [last] * k, axis=axis)
+
+    plan.init_traj = rep_last(np.asarray(plan.init_traj), 1)
+    T = np.asarray(plan.T, np.float64)
+    dtl = T[-1] - T[-2]
+    plan.T = np.concatenate([T, T[-1] + dtl * np.arange(1, k + 1)])
+    plan.seg_boxes = rep_last(np.asarray(plan.seg_boxes), 1)
+    plan.pair_normals = rep_last(np.asarray(plan.pair_normals), 1)
+    return plan
+
+
 def solve_scenarios(scenarios: list[Scenario], param: Param,
                     settings: admm.ADMMSettings | None = None) -> list[Scenario]:
     """Batched device solves, scenarios bucketed by (segments, agents).
@@ -82,6 +122,7 @@ def solve_scenarios(scenarios: list[Scenario], param: Param,
     buckets: dict[tuple[int, int], list[int]] = {}
     for i, sc in enumerate(scenarios):
         if sc.plan is not None and sc.error is None:
+            pad_plan_segments(sc.plan, quantize_M(sc.plan.M))
             buckets.setdefault((sc.plan.M, sc.mission.qn), []).append(i)
 
     rounds = max(1, param.iteration)
@@ -243,6 +284,7 @@ def _run_pipelined(scenarios: list[Scenario], param: Param,
             sc = scenarios[i]
             if sc.plan is None or sc.error is not None:
                 continue
+            pad_plan_segments(sc.plan, quantize_M(sc.plan.M))
             key = (sc.plan.M, sc.mission.qn)
             pending.setdefault(key, []).append(i)
             if len(pending[key]) == chunk:

@@ -64,11 +64,29 @@ def production_settings(max_iter: int = 1500,
 def production_phases(budgets: tuple[int, int, int] = PRODUCTION_BUDGETS,
                       base: nullspace.NSSettings | None = None,
                       kkt_refine: int = 0,
+                      fused: bool | None = None,
                       ) -> tuple[nullspace.NSSettings, ...]:
     """Phased rho schedule: feasibility-first (low rungs fenced out) ->
-    objective polish (unfenced) -> feasibility restore (fenced high)."""
+    objective polish (unfenced) -> feasibility restore (fenced high).
+
+    fused: run each check_every chunk as ONE VMEM-resident Pallas
+    kernel (ops/pallas_nsfused.py).  MEASURED on the real v5e
+    (tools/fused_bench.py, 2026-08-19): 4.17x the XLA scan path on the
+    gate-passing 64-agent cycle (0.345 s -> 0.083 s), both paths
+    passing the full acceptance gate — so it is the PRODUCTION DEFAULT
+    on accelerator backends.  None = auto: True unless the backend is
+    CPU (Mosaic is TPU-only; the interpret fallback is for tests, and
+    prep falls back to the flat layout when the working set exceeds
+    VMEM or segment durations are non-uniform)."""
     b = base if base is not None else production_settings()
-    b = dataclasses.replace(b, kkt_refine=kkt_refine)
+    if fused is None:
+        # auto applies even over an explicit base (pass fused=
+        # base.fused_chunk to preserve a caller's choice): replan
+        # schedules derived from the cold phases re-resolve to the
+        # same backend and stay consistent
+        fused = jax.default_backend() != "cpu"
+    b = dataclasses.replace(b, fused_chunk=bool(fused),
+                            kkt_refine=kkt_refine)
     if kkt_refine:
         # the fused kernel has no fresh-K apply; a refined (stale-op)
         # schedule derived from fused base phases must drop the kernel

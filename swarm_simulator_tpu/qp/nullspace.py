@@ -485,16 +485,19 @@ def prepare_ns_np(data: QPData, s: NSSettings) -> NSOp:
             if s.thomas_kernel:
                 raise ValueError("fused_chunk and thomas_kernel are "
                                  "mutually exclusive")
-            if not onp.allclose(Ho, Ho[:1], atol=1e-12):
-                raise ValueError(
-                    "NSSettings.fused_chunk=True requires uniform "
-                    "segment durations (constant off-diagonal Ho)")
             from ..ops.pallas_nsfused import (fused_fits,
                                               prep_pivots_grouped)
-            # silently fall back to the flat (XLA scan) layout when the
-            # kernel's working set cannot fit VMEM (e.g. 256 agents) —
-            # _iterate_ns picks the path from the pivot layout
-            if fused_fits(B, M, onp.asarray(data.pair_n).shape[0]):
+            # fall back to the flat (XLA scan) layout when the kernel
+            # cannot run this problem: working set exceeds VMEM (e.g.
+            # 256 agents) or non-uniform segment durations (the kernel
+            # assumes a constant off-diagonal Ho).  _iterate_ns picks
+            # the path from the pivot layout, so the solve degrades
+            # gracefully instead of raising — fused is the production
+            # DEFAULT on accelerator backends (qp/joint.py)
+            uniform = bool(onp.allclose(Ho, Ho[:1], atol=1e-12)) \
+                if Mi > 1 else True
+            if uniform and fused_fits(B, M,
+                                      onp.asarray(data.pair_n).shape[0]):
                 Dinvs = prep_pivots_grouped(Dinvs, phi)
         if s.thomas_kernel and Mi > 1:
             # the kernel assumes a CONSTANT off-diagonal block (I (x)

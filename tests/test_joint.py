@@ -103,6 +103,14 @@ def test_production_recipe_pinned():
     assert tuple(p.max_iter for p in ph) == (200, 600, 100)
     assert (ph[0].rho_lo, ph[1].rho_lo, ph[2].rho_lo) == (1e-3, None,
                                                           1e-2)
+    # fused-chunk production default: AUTO by backend — the VMEM
+    # kernel measured 4.17x the XLA scan on the real v5e
+    # (tools/fused_bench.py, benchmarks/fused_bench_tpu.log), so it is
+    # ON for accelerator backends and OFF on CPU (this suite)
+    import jax
+    assert all(p.fused_chunk == (jax.default_backend() != "cpu")
+               for p in ph)
+    assert all(p.fused_chunk for p in joint.production_phases(fused=True))
     # replan schedules derived with kkt_refine must drop the fused
     # kernel (no fresh-K apply in-kernel)
     import dataclasses

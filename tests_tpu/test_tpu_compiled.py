@@ -7,10 +7,8 @@ platform-specific quality questions VERDICT round 1 flagged:
 
   * the production joint solve must pass the full safety gate compiled
     on TPU (the headline bench path);
-  * the legacy Pallas ADMM kernel's compiled-TPU accuracy gap
-    (ops/pallas_admm.py; converges to ~1.3e-2 continuity vs 2.6e-4 for
-    the CPU-validated algorithm) is pinned by an xfail — if a Mosaic or
-    kernel change fixes it, the xpass flips this test and we notice.
+  * the fused VMEM chunk kernel and the Pallas Thomas kernel must
+    reproduce the XLA paths compiled (Mosaic regressions are visible).
 """
 import sys
 
@@ -54,34 +52,6 @@ def test_joint_gate_compiled_tpu():
     ctrl = x.transpose(0, 2, 1).reshape(64, plan.M, param.n + 1, 3)
     ok, m = bench.gate_quality(ctrl, plan, mission, param)
     assert ok, m
-
-
-@pytest.mark.xfail(strict=False,
-                   reason="known Mosaic f32 accumulation gap: compiled "
-                   "kernel plateaus ~1.3e-2 primal violation vs 2.6e-4 "
-                   "in interpret mode (see ARCHITECTURE.md, "
-                   "tools/pallas_debug/)")
-def test_pallas_admm_compiled_quality():
-    from __graft_entry__ import _tiny_qp
-
-    from swarm_simulator_tpu.ops.pallas_admm import (PallasADMMSettings,
-                                                     solve_admm_pallas)
-    from swarm_simulator_tpu.qp import admm
-
-    data = _tiny_qp(n_agents=4, M=4)
-    dev = _tpu_device()
-    data = jax.tree.map(
-        lambda x: jax.device_put(jax.numpy.asarray(x), dev), data)
-    x_pal = solve_admm_pallas(data, PallasADMMSettings(iters=400),
-                              interpret=False)
-
-    pop = admm._pair_op(data)
-    av = admm.A_matvec(data, jax.numpy.asarray(x_pal), pop)
-    l, u = admm._bounds(data)
-    over = jax.tree.map(lambda a, ll, uu: jax.numpy.maximum(
-        jax.numpy.maximum(ll - a, a - uu), 0.0), av, l, u)
-    viol = max(float(jax.numpy.max(v)) for v in over if v.size > 0)
-    assert viol < 5e-4, viol
 
 
 def test_thomas_kernel_compiled_accuracy():
