@@ -419,7 +419,10 @@ def main():
     # empirical ceiling).  The fused VMEM kernel instead DMAs the rung
     # inventory ONCE per check_every-sized chunk.
     op = first["op"]
-    iters = first["iters"]
+    # per-phase while_loops can stop early, but SolveInfo.iters reports
+    # only the LAST phase — use the phase budgets (the production
+    # schedule runs essentially to budget at these tolerances)
+    iters = sum(p.max_iter for p in phases)
     d = np.asarray(op.Dinvs)
     if d.ndim == 5:          # grouped (fused kernel) layout [R,Mi,phi,B3,GW]
         rung_bytes = d[0].nbytes
