@@ -1,20 +1,30 @@
-"""Worker process for the multi-process distributed test.
+"""Worker process for the multi-process distributed tests.
 
-Run as:  python tests/distributed_worker.py <coordinator> <nproc> <pid>
+Run as:  python tests/distributed_worker.py <coordinator> <nproc> <pid> \
+             [jacobi|joint]
 
-Each process owns 4 virtual CPU devices; together they form the global
-(scenario=nproc, batch=4) mesh.  Process p preps scenario p on its host
-(scenario_shard), contributes it to the global stack with
-stack_across_processes (jax.make_array_from_process_local_data — the
-branch single-process tests cannot reach), and all processes jointly
-execute a vmapped jacobi_sweep over the sharded stack.  Each process then
-verifies the physical quality of ITS scenario's result and prints a
-PASS line the parent asserts on.
+jacobi (default): each process owns 4 virtual CPU devices; together
+they form the global (scenario=nproc, batch=4) mesh.  Process p preps
+scenario p on its host (scenario_shard), contributes it to the global
+stack with stack_across_processes
+(jax.make_array_from_process_local_data — the branch single-process
+tests cannot reach), and all processes jointly execute a vmapped
+jacobi_sweep over the sharded stack.  Each process then verifies the
+physical quality of ITS scenario's result and prints a PASS line the
+parent asserts on.
+
+joint: ONE joint banded solve (qp/nullspace_shard) partitioned over
+the global 8-device mesh SPANNING BOTH PROCESSES — the pivot
+inventory's block rows and the pair constraints live on devices of
+different processes, so the psum/all_gather coupling collectives cross
+the process boundary (DCN in real deployments).  Each process checks
+the sharded result against its own single-device solve.
 """
 import os
 import sys
 
 coord, nproc, pid = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+mode = sys.argv[4] if len(sys.argv) > 4 else "jacobi"
 
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "")
@@ -41,6 +51,50 @@ distributed.initialize(coordinator_address=coord, num_processes=nproc,
 assert jax.process_count() == nproc, jax.process_count()
 assert jax.local_device_count() == 4
 assert jax.device_count() == 4 * nproc
+
+if mode == "joint":
+    import dataclasses
+
+    from jax.sharding import Mesh
+
+    from swarm_simulator_tpu.qp import nullspace, nullspace_shard
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_nullspace import _data
+
+    data, _ = _data(n_agents=8, M=8)
+    data = jax.tree.map(
+        lambda a: np.asarray(a, np.float32)
+        if np.asarray(a).dtype == np.float64 else np.asarray(a), data)
+    s0 = nullspace.NSSettings(kkt_mode="banded", max_iter=100,
+                              check_every=50, eps_abs=0.0, eps_rel=0.0,
+                              eps_dual_abs=0.0, rho_min=1e-4,
+                              rho_max=1e-1, n_rungs=4)
+    op = nullspace.prepare_ns_np(data, s0)
+
+    # local single-device reference (plain XLA scan path)
+    x_ref, info_ref = nullspace.solve_ns_phases(
+        jax.tree.map(jnp.asarray, data), (s0,),
+        op=jax.device_put(op, jax.local_devices()[0]))
+    x_ref = np.asarray(x_ref, np.float64)
+
+    # global mesh over ALL devices of BOTH processes: bs=72 rows / 8
+    # devices, pair axis 28 -> padded 32 over 8 shards; the Thomas
+    # all_gathers and the pair psum cross the process boundary
+    mesh = Mesh(np.array(jax.devices()), ("kkt",))
+    x_sh, info_sh = nullspace_shard.solve_ns_phases_sharded(
+        data, (s0,), op, mesh)
+    x_sh = np.asarray(x_sh, np.float64)
+
+    err = np.abs(x_ref - x_sh).max() / max(1.0, np.abs(x_ref).max())
+    ok = (err < 5e-5
+          and int(np.asarray(info_sh.iters)) == int(
+              np.asarray(info_ref.iters)))
+    print(f"WORKER{pid} joint-shard err={err:.2e} "
+          f"iters={int(np.asarray(info_sh.iters))} "
+          f"devices={jax.device_count()} {'PASS' if ok else 'FAIL'}",
+          flush=True)
+    sys.exit(0 if ok else 1)
 
 N_AGENTS, M = 8, 4
 mesh = distributed.global_mesh(n_scenario=nproc, n_batch=4)

@@ -275,3 +275,44 @@ def test_distributed_two_process_execution():
         assert p.returncode == 0, f"worker {pid} failed:\n{out}"
         assert f"WORKER{pid}" in out and "PASS" in out, out
         assert "devices=8" in out, out
+
+
+def test_distributed_two_process_sharded_joint():
+    """ONE joint banded solve partitioned over a global 8-device mesh
+    spanning TWO jax.distributed processes: the sharded Thomas
+    all_gathers and the pair-coupling psum cross the process boundary
+    (the DCN path of a real deployment).  Each worker verifies the
+    sharded result against its own single-device solve."""
+    import socket
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    coord = f"localhost:{port}"
+    worker = Path(__file__).parent / "distributed_worker.py"
+
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    repo_root = str(Path(__file__).parent.parent)
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in (repo_root, env.get("PYTHONPATH")) if p)
+    procs = [subprocess.Popen(
+        [sys.executable, str(worker), coord, "2", str(pid), "joint"],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env=env, cwd=str(Path(__file__).parent.parent))
+        for pid in range(2)]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=300)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out}"
+        assert f"WORKER{pid}" in out and "PASS" in out, out
+        assert "devices=8" in out, out
