@@ -62,3 +62,38 @@ def test_apply_scale_preserves_endpoints():
     # value at t=0 of each segment unchanged (constant term)
     np.testing.assert_allclose(coef2[..., 5, :], coef[..., 5, :])
     np.testing.assert_allclose(T2, T * 1.331)
+
+
+def test_bench_gate_applies_time_scaling():
+    """bench.gate_quality must compute the reference's timeScale pass
+    and verify max_vel/max_acc on the SCALED trajectory (round-2
+    VERDICT missing #4): with tightened limits the gate reports a
+    scale > 1 and still passes; an identical trajectory judged against
+    generous limits reports scale == 1."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent.parent))
+    import bench
+    from __graft_entry__ import _tiny_plan
+
+    from swarm_simulator_tpu.core.types import Param
+    from swarm_simulator_tpu.parallel import seqbatch
+
+    plan, mission, dummy = _tiny_plan(n_agents=2, M=4)
+    param = Param(solver_dtype="float64", time_scale=False)
+    seqbatch.solve_trajectories(plan, mission, param)
+    ctrl = np.asarray(plan.ctrl)
+
+    ok, m = bench.gate_quality(ctrl, plan, mission, param)
+    assert ok and m["time_scale"] == 1.0, m
+
+    # tighten the velocity limit below the unscaled peak: the gate must
+    # scale time until the limit holds and still PASS (scaling keeps
+    # the path geometry, so every other check is invariant)
+    vmax = m["vel_frac"] * mission.max_vel.max()
+    mission.max_vel[:] = 0.5 * vmax
+    ok2, m2 = bench.gate_quality(ctrl, plan, mission, param)
+    assert ok2, m2
+    assert m2["time_scale"] > 1.0
+    assert m2["vel_frac"] <= 1.0 + 1e-9
