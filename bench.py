@@ -383,7 +383,8 @@ def main():
         if seed == GATE_SEEDS[0]:
             first = dict(data_dev=data_dev, op_dev=op_dev, plan=plan,
                          ipm_s=ipm_s, prep_s=prep_s, op=op,
-                         iters=int(info.iters))
+                         iters=int(info.iters), ctrl=ctrl,
+                         mission=mission, param=param)
         if not ok:
             log(f"seed {seed} FAILED the gate — benchmark aborts "
                 f"(no timing without quality)")
@@ -446,6 +447,47 @@ def main():
     cycle_cold_s = (stage.get("search", 0.0) + stage.get("corridor", 0.0)
                     + first["prep_s"] + dt_cycle)
 
+    # ---- corridor-refresh REPLAN cycle (the production "device" mode:
+    # on-device f32 prep of the FRESH operator + kkt_refine=1 PCG —
+    # benchmarks/replan_study_tpu.log) — the true outer-iteration cost
+    # the reference pays per rbp_planner.hpp:140 round ----
+    import dataclasses
+
+    from swarm_simulator_tpu.corridor.rsfc import build_rsfc
+    from swarm_simulator_tpu.qp import joint as qjoint
+
+    plan0, mission0, param0 = first["plan"], first["mission"], \
+        first["param"]
+    ctrl0 = first["ctrl"]
+    knots = np.concatenate([ctrl0[:, :, 0, :], ctrl0[:, -1:, -1, :]],
+                           axis=1)
+    _, normals = build_rsfc(knots, param0.downwash)
+    plan0.pair_normals = np.asarray(normals, np.float64)
+    data1, _ = qjoint.assemble_joint(plan0, mission0, param0, dummy=ctrl0)
+    d1_dev = jax.tree.map(jnp.asarray, data1)
+    rphases = qjoint.production_phases(kkt_refine=1)
+    prep_jit = jax.jit(lambda d: nullspace.prepare_ns(d, rphases[0]))
+    rsolve = jax.jit(lambda d, o: nullspace.solve_ns_phases(
+        d, rphases, op=o))
+    # first call compiles; time warm prep + warm solve
+    op_r = prep_jit(d1_dev)
+    x_r, _ = rsolve(d1_dev, op_r)
+    np.asarray(x_r)
+    best = np.inf
+    for rr in range(2):
+        dj = dataclasses.replace(
+            d1_dev, pair_n=d1_dev.pair_n * (1.0 + jnp.float32(1e-7)),
+            x0=d1_dev.x0 + jnp.float32(3.1e-6 * (rr + 1)))
+        t0 = time.perf_counter()
+        op_r = prep_jit(dj)
+        x_r, _ = rsolve(dj, op_r)
+        x_r = np.asarray(x_r, np.float64)
+        best = min(best, time.perf_counter() - t0)
+    ctrl_r = x_r.transpose(0, 2, 1).reshape(x_r.shape[0], plan0.M, 6, 3)
+    rok, rm = gate_quality(ctrl_r, plan0, mission0, param0)
+    log(f"replan (device prep + refine-1): {best:.2f}s/cycle "
+        f"gate={'OK' if rok else 'FAIL'} ratio={rm['ratio']:.4f}")
+
     m0 = per_seed[GATE_SEEDS[0]][1]
     out = {
         "metric": "plan_cycles_per_s_64agents_forest",
@@ -458,6 +500,8 @@ def main():
         "oracle_batches": [oracle_batch(s, 16) for s in GATE_SEEDS],
         "cycle_warm_s": round(dt_cycle, 3),
         "cycle_cold_s": round(cycle_cold_s, 3),
+        "replan_cycle_s": round(best, 3),
+        "replan_gate_ok": bool(rok),
         "time_scale_seed0": m0["time_scale"],
         "kkt_path": path,
         "gbps_achieved": round(gbps, 1),

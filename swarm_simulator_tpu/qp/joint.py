@@ -120,7 +120,7 @@ def _solve_phases_jit(data, op, phases):
 def solve_trajectories(plan: PlanResult, mission: Mission, param: Param,
                        phases: tuple[nullspace.NSSettings, ...] | None = None,
                        replan_budgets: tuple[int, int, int] | None = None,
-                       replan_prep: str = "fresh",
+                       replan_prep: str | None = None,
                        ) -> PlanResult:
     """Pipeline entry for Param.solver == "nullspace": fills plan.ctrl /
     plan.coef / plan.solver_info like seqbatch.solve_trajectories.
@@ -131,14 +131,23 @@ def solve_trajectories(plan: PlanResult, mission: Mission, param: Param,
     analog of the reference's dummy refresh, rbp_planner.hpp:140-204)
     and re-solves warm-started from that round's solution.
 
-    replan_prep: "fresh" re-runs the host-f64 KKT prep each round — the
-    gate-passing mode (tools/staleop_study.py: a full RSFC refresh
-    rotates the pair coupling too far for the stale inventory; the
-    stale replan fails the gate even with kkt_refine PCG steps).
-    "stale" reuses the round-0 inventory via refresh_ns_op_np +
-    kkt_refine=1 — milliseconds instead of seconds of prep, only safe
-    for SMALL corridor perturbations; exact for endpoint-only replans
-    (where the constraint set is unchanged).
+    replan_prep — how each round's KKT rung inventory is produced:
+      "device"  ON-DEVICE f32 prep of the FRESH operator + kkt_refine=1
+                PCG w-updates.  The round-3 measured production mode
+                (benchmarks/replan_study_tpu.log): 0.78 s replan cycle
+                at 64 agents vs 6.6 s for fresh host prep, objective
+                1.029 vs 0.959 — the precondition quality lost to f32
+                inverses is recovered by PCG against the fresh
+                operator.  (prepare_ns pins matmul precision itself —
+                without it the low-rho rung inverses come out 1e4x
+                wrong and the solve NaNs.)
+      "fresh"   re-runs the host-f64 prep each round — maximum polish
+                quality (the bench-headline cold-start mode).
+      "stale"   reuses the round-0 inventory via refresh_ns_op_np +
+                kkt_refine=1 — milliseconds, but ONLY safe for small
+                corridor perturbations; a full RSFC refresh fails the
+                gate on the stale inventory (tools/staleop_study.py).
+      None      auto: "device" on accelerator backends, "fresh" on CPU.
     """
     import jax.numpy as jnp
 
@@ -146,6 +155,11 @@ def solve_trajectories(plan: PlanResult, mission: Mission, param: Param,
 
     if phases is None:
         phases = production_phases()
+    if replan_prep is None:
+        replan_prep = ("device" if jax.default_backend() != "cpu"
+                       else "fresh")
+    if replan_prep not in ("fresh", "stale", "device"):
+        raise ValueError(f"replan_prep: unknown mode {replan_prep!r}")
     if replan_prep == "stale" and any(p.fused_chunk for p in phases):
         # stale replans need kkt_refine (fresh-K PCG), which the fused
         # kernel cannot run, and a fused-prepped (grouped) operator
@@ -175,7 +189,9 @@ def solve_trajectories(plan: PlanResult, mission: Mission, param: Param,
             tuple(s.max_iter for s in phases)
         rphases = production_phases(
             rb, base=phases[1],
-            kkt_refine=1 if replan_prep == "stale" else 0)
+            kkt_refine=1 if replan_prep in ("stale", "device") else 0)
+        prep_jit = (jax.jit(lambda d: nullspace.prepare_ns(d, rphases[0]))
+                    if replan_prep == "device" else None)
         for _ in range(param.iteration - 1):
             knots = np.concatenate(
                 [ctrl[:, :, 0, :], ctrl[:, -1:, -1, :]], axis=1)
@@ -195,6 +211,14 @@ def solve_trajectories(plan: PlanResult, mission: Mission, param: Param,
                 op_dev = op_dev._replace(
                     x_pin=jnp.asarray(op.x_pin),
                     g=jnp.asarray(op.g))
+            elif replan_prep == "device":
+                # fresh-operator prep ON DEVICE (f32 inverses; the
+                # kkt_refine=1 PCG in rphases recovers the polish
+                # quality against the fresh operator)
+                t0 = time.perf_counter()
+                op_dev = prep_jit(jax.tree.map(jnp.asarray, data))
+                jax.block_until_ready(op_dev.Dinvs)
+                prep_s += time.perf_counter() - t0
             else:
                 t0 = time.perf_counter()
                 op = nullspace.prepare_ns_np(data, rphases[0])

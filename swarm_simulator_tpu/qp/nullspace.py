@@ -608,7 +608,17 @@ def refresh_ns_op_np(op: NSOp, data: QPData) -> NSOp:
 
 
 def prepare_ns(data: QPData, s: NSSettings) -> NSOp:
-    """All dummy-independent prep: maps, linear term, KKT inverse ladder."""
+    """All dummy-independent prep: maps, linear term, KKT inverse ladder.
+
+    Pins matmul precision itself: on TPU the Kd-forming einsums and the
+    Schur-chain sandwiches silently run bf16 at default precision,
+    which wrecks the rung inverses (measured: rel err 4e-2 even at the
+    best-conditioned rung when a caller jitted this bare)."""
+    with jax.default_matmul_precision("highest"):
+        return _prepare_ns_impl(data, s)
+
+
+def _prepare_ns_impl(data: QPData, s: NSSettings) -> NSOp:
     if data.dt is None:
         raise ValueError("QPData.dt required for the knot-state solver")
     M, npp, _ = data.Qseg.shape
@@ -1157,9 +1167,15 @@ def solve_ns_phases(data: QPData, phases: tuple[NSSettings, ...],
             op = prepare_ns(data, phases[0])
         state = None
         x = info = None
+        iters_total = 0
         for s in phases:
             x, info, state = _iterate_ns(data, op, s, init=state,
                                          return_state=True)
+            iters_total = iters_total + info.iters
+        # report TOTAL iterations across the phase schedule (each
+        # phase's SolveInfo.iters alone undercounts the cycle ~9x at
+        # production budgets — round-3 bench utilization bug)
+        info = info._replace(iters=iters_total)
     if return_state:
         return x, info, state
     return x, info

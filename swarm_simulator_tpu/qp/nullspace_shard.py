@@ -313,9 +313,13 @@ def solve_ns_phases_sharded(data: QPData, phases, op: NSOp, mesh,
         with jax.default_matmul_precision("highest"):
             state = None
             x = info = None
+            iters_total = 0
             for s in phases:
                 x, info, state = _iterate_ns_sharded(
                     d, o, s, axis, n, init=state)
+                iters_total = iters_total + info.iters
+            # TOTAL iterations across phases (mirrors solve_ns_phases)
+            info = info._replace(iters=iters_total)
         return x, info
 
     try:                          # jax >= 0.8: check_vma

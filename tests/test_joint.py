@@ -117,3 +117,52 @@ def test_production_recipe_pinned():
     fused = tuple(dataclasses.replace(p, fused_chunk=True) for p in ph)
     r = joint.production_phases(base=fused[1], kkt_refine=1)
     assert all(not p.fused_chunk and p.kkt_refine == 1 for p in r)
+
+
+def test_replan_prep_device_collision_free():
+    """replan_prep='device' (the accelerator-default replan mode:
+    on-device f32 prep of the fresh operator + kkt_refine=1 PCG) must
+    plan a corridor-refresh round collision-free — CPU twin of the
+    measured TPU mode (benchmarks/replan_study_tpu.log: 0.78 s replan
+    cycles vs 6.6 s fresh host prep, objective 1.029 vs 0.959)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    import swarm_simulator_tpu as sst
+    from swarm_simulator_tpu.corridor.times import build_corridors
+    from swarm_simulator_tpu.eval.safety import safety_margin_ratio
+    from swarm_simulator_tpu.eval.sample import (sample_times,
+                                                 sample_trajectories)
+    from swarm_simulator_tpu.io.mission_json import load_mission
+    from swarm_simulator_tpu.qp import joint
+    from swarm_simulator_tpu.search.planner import plan_initial_trajectories
+    from swarm_simulator_tpu.world.esdf import ESDF
+    from swarm_simulator_tpu.world.forest import generate_forest
+
+    mission = load_mission(
+        "/root/reference/swarm_planner/missions/mission_8agents_12.json")
+    param = sst.Param(world_z_min=0.0, solver_dtype="float32",
+                      grid_xy_res=0.5, grid_z_res=0.5,
+                      solver="nullspace", iteration=2)
+    world = generate_forest(mission, world_min=param.world_min,
+                            world_max=param.world_max, obs_num=6,
+                            h_min=1.0, h_max=2.5, margin=0.5, seed=3)
+    esdf = ESDF(world, max_dist=param.esdf_max_dist)
+    plan = plan_initial_trajectories(esdf, mission, param)
+    build_corridors(esdf, plan, mission.radius, param)
+
+    joint.solve_trajectories(plan, mission, param, replan_prep="device")
+    assert plan.solver_info["replan_rounds"] == 1
+
+    ts = sample_times(np.asarray(plan.T), 0.1)
+    pos = np.asarray(sample_trajectories(
+        jnp.asarray(plan.coef), jnp.asarray(np.asarray(plan.T)),
+        jnp.asarray(ts), n=param.n, derivatives=1))[:, :, 0]
+    ratio = float(safety_margin_ratio(
+        jnp.asarray(pos), jnp.asarray(mission.radius),
+        downwash=param.downwash))
+    assert ratio >= 1.0, ratio
+    goal_err = np.abs(plan.ctrl[:, -1, -1] - mission.goal[:, :3]).max()
+    assert goal_err < 1e-4, goal_err
