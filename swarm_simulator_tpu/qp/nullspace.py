@@ -716,7 +716,12 @@ def _prepare_ns_impl(data: QPData, s: NSSettings) -> NSOp:
             _, Ds = jax.lax.scan(step, Dinv0, (Kd[1:], Ho))
             return jnp.concatenate([Dinv0[None], Ds], axis=0)
 
-        Dinvs = jax.vmap(factor)(ladder)         # [R, Mi, bs, bs]
+        # sequential over rungs (lax.map, not vmap): the per-rung Kd
+        # transient is [Mi, bs, bs] — vmapping materialized all R rungs
+        # at once, which at 256 agents is a 7.5 GB transient on top of
+        # the 7.5 GB Dinvs output (HBM overflow); rungs are serial but
+        # each is itself a big batched-inverse pipeline
+        Dinvs = jax.lax.map(factor, ladder)      # [R, Mi, bs, bs]
         if s.fused_chunk:
             # device-side twin of the prepare_ns_np hook (uniform-dt is
             # asserted only on the host path — traced values cannot be
