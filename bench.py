@@ -184,7 +184,12 @@ def gate_quality(ctrl, plan, mission, param, obj_ref=None, obj_b0=None,
     # dynamic limits post-timescale: scale as the reference would
     # (rbp_planner.hpp:209-266; time scaling keeps the path geometry, so
     # the collision ratio above is invariant), then VERIFY independently
-    # by dense per-axis sampling of the scaled trajectory
+    # by dense per-axis sampling of the scaled trajectory.  NOTE
+    # compute_time_scale only supports n=5/phi=3 (like the reference,
+    # rbp_planner.hpp:210-212) — for other configs it returns 1.0 and
+    # the vel/acc check judges the UNSCALED trajectory (a limit-
+    # exceeding non-quintic config fails the gate rather than being
+    # silently rescued; m['timescale_supported'] records which case ran)
     scale = timescale.compute_time_scale(coef, plan.T, mission.max_vel,
                                          mission.max_acc, param.n,
                                          param.phi)
@@ -200,7 +205,8 @@ def gate_quality(ctrl, plan, mission, param, obj_ref=None, obj_b0=None,
 
     m = dict(ratio=ratio, cont0=cont[0], cont2=cont[2],
              endpoints=max(start_err, goal_err), box_viol=viol,
-             time_scale=scale, vel_frac=vel_frac, acc_frac=acc_frac)
+             time_scale=scale, vel_frac=vel_frac, acc_frac=acc_frac,
+             timescale_supported=(param.n == 5 and param.phi == 3))
     # vel/acc bound 1.0 + slack: compute_time_scale bounds the true
     # polynomial extrema (root-based), the dense 0.1 s sampling can only
     # see less — the tiny slack covers f.p. rounding of the rescale
@@ -352,8 +358,11 @@ def main():
     first = {}
     for seed in GATE_SEEDS:
         plan, mission, param = build_problem(seed)
+        t_asm0 = time.perf_counter()
         data, dummy = assemble_joint(plan, mission, param)
         data_dev = jax.tree.map(jnp.asarray, data)
+        jax.block_until_ready(data_dev.pair_rhs)
+        asm_s = time.perf_counter() - t_asm0
         t0 = time.perf_counter()
         # host-f64 KKT prep, rounded once to f32 (see prepare_ns_np):
         # dummy-independent, so production replans amortize it
@@ -384,7 +393,8 @@ def main():
             first = dict(data_dev=data_dev, op_dev=op_dev, plan=plan,
                          ipm_s=ipm_s, prep_s=prep_s, op=op,
                          iters=int(info.iters), ctrl=ctrl,
-                         mission=mission, param=param)
+                         mission=mission, param=param, asm_s=asm_s,
+                         n_batches=n_batches)
         if not ok:
             log(f"seed {seed} FAILED the gate — benchmark aborts "
                 f"(no timing without quality)")
@@ -420,10 +430,10 @@ def main():
     # empirical ceiling).  The fused VMEM kernel instead DMAs the rung
     # inventory ONCE per check_every-sized chunk.
     op = first["op"]
-    # per-phase while_loops can stop early, but SolveInfo.iters reports
-    # only the LAST phase — use the phase budgets (the production
-    # schedule runs essentially to budget at these tolerances)
-    iters = sum(p.max_iter for p in phases)
+    # measured TOTAL iterations across the phase schedule (solve_ns_
+    # phases sums per-phase counts; early-terminating phases are
+    # reflected, so the bytes model is not inflated)
+    iters = first["iters"]
     d = np.asarray(op.Dinvs)
     if d.ndim == 5:          # grouped (fused kernel) layout [R,Mi,phi,B3,GW]
         rung_bytes = d[0].nbytes
@@ -441,11 +451,12 @@ def main():
         f"measured ceiling)")
 
     # cold cycle: everything a first plan pays (search + corridor +
-    # assemble/prep/transfer + solve); warm = solve-only on the
-    # device-resident operator (round-2 VERDICT: report both)
+    # QP assembly + data transfer + host-f64 prep + transfer + solve);
+    # warm = solve-only on the device-resident operator (round-2
+    # VERDICT: report both)
     stage = getattr(first["plan"], "stage_s", {})
     cycle_cold_s = (stage.get("search", 0.0) + stage.get("corridor", 0.0)
-                    + first["prep_s"] + dt_cycle)
+                    + first["asm_s"] + first["prep_s"] + dt_cycle)
 
     # ---- corridor-refresh REPLAN cycle (the production "device" mode:
     # on-device f32 prep of the FRESH operator + kkt_refine=1 PCG —
@@ -497,7 +508,8 @@ def main():
         "gate_seeds": len(GATE_SEEDS),
         "ratio_seed0": m0["ratio"],
         "obj_vs_ipm": round(m0["obj_b0"] / m0["obj_ref"], 3),
-        "oracle_batches": [oracle_batch(s, 16) for s in GATE_SEEDS],
+        "oracle_batches": [oracle_batch(s, first["n_batches"])
+                           for s in GATE_SEEDS],
         "cycle_warm_s": round(dt_cycle, 3),
         "cycle_cold_s": round(cycle_cold_s, 3),
         "replan_cycle_s": round(best, 3),

@@ -53,9 +53,10 @@ from .nullspace import (NSConstr, NSOp, NSSettings, _apply_Qseg, _bounds,
 def pad_pairs(data: QPData, mult: int) -> QPData:
     """Pad the pair axis to a multiple of ``mult`` with INACTIVE rows
     (mask 0, zero normals, -BIG rhs -> bounds clamp to (-BIG, BIG), the
-    constraint never binds and its dual stays 0).  Host-side numpy."""
-    Pn = np.asarray(data.pair_n)
-    Pq = Pn.shape[0]
+    constraint never binds and its dual stays 0).  Host-side numpy; a
+    tree whose pair axis is already a multiple (e.g. placed via
+    ``place``) returns unchanged without touching the leaves."""
+    Pq = data.pair_n.shape[0]
     Pp = ((Pq + mult - 1) // mult) * mult
     if Pp == Pq:
         return data
@@ -91,7 +92,7 @@ def _specs(data: QPData, op: NSOp, axis: str):
 
 
 def _iterate_ns_sharded(data: QPData, op: NSOp, s: NSSettings, axis: str,
-                        n_shards: int, init=None):
+                        init=None):
     """shard_map body: one phase of the knot-state ADMM with LOCAL pair
     shards and block-row-sharded pivots.  Mirrors nullspace._iterate_ns
     (no AA / kkt_refine / fused paths — asserted by the entry)."""
@@ -283,26 +284,17 @@ def _check_phases(phases):
                              "'banded' (block-row pivot sharding)")
 
 
-def solve_ns_phases_sharded(data: QPData, phases, op: NSOp, mesh,
-                            axis: str = "kkt"):
-    """Run the phased knot-state ADMM with ONE problem partitioned over
-    ``mesh[axis]``: pivot inventory block-row-sharded, pair constraints
-    P-sharded, coupling carried by psum / all_gather collectives.
+#: jitted solvers keyed on (mesh, axis, phases): rebuilding the
+#: shard_map closure per call would defeat the jit cache — every solve
+#: would re-trace the 3-phase while-loop program
+_JIT_CACHE: dict = {}
 
-    data/op: HOST leaves (numpy) as produced by assemble + prepare_ns_np
-    (flat banded layout).  Returns (x [B, 3, D], SolveInfo), replicated.
-    """
-    _check_phases(phases)
-    n = mesh.shape[axis]
-    bs = int(np.asarray(op.Dinvs).shape[-1])
-    if bs % n != 0:
-        raise ValueError(f"pivot block size {bs} must divide over "
-                         f"{n} devices (pad agents or change the mesh)")
-    if np.asarray(op.Dinvs).ndim != 4:
-        raise ValueError("op must be prepared in the FLAT banded layout "
-                         "(fused_chunk/thomas_kernel preps cannot shard)")
-    data = pad_pairs(data, n)
-    dspec, ospec = _specs(data, op, axis)
+
+def _jitted(mesh, axis: str, phases, dspec, ospec):
+    key = (mesh, axis, phases)
+    fn = _JIT_CACHE.get(key)
+    if fn is not None:
+        return fn
 
     try:
         from jax import shard_map
@@ -316,21 +308,62 @@ def solve_ns_phases_sharded(data: QPData, phases, op: NSOp, mesh,
             iters_total = 0
             for s in phases:
                 x, info, state = _iterate_ns_sharded(
-                    d, o, s, axis, n, init=state)
+                    d, o, s, axis, init=state)
                 iters_total = iters_total + info.iters
             # TOTAL iterations across phases (mirrors solve_ns_phases)
             info = info._replace(iters=iters_total)
         return x, info
 
     try:                          # jax >= 0.8: check_vma
-        fn = shard_map(body, mesh=mesh, in_specs=(dspec, ospec),
+        sm = shard_map(body, mesh=mesh, in_specs=(dspec, ospec),
                        out_specs=(P(), P()), check_vma=False)
     except TypeError:             # older jax: check_rep
-        fn = shard_map(body, mesh=mesh, in_specs=(dspec, ospec),
+        sm = shard_map(body, mesh=mesh, in_specs=(dspec, ospec),
                        out_specs=(P(), P()), check_rep=False)
+    fn = jax.jit(sm)
+    _JIT_CACHE[key] = fn
+    return fn
 
-    put = lambda leaf, spec: jax.device_put(
-        jnp.asarray(leaf), NamedSharding(mesh, spec))
-    d_dev = jax.tree.map(put, data, dspec)
-    o_dev = jax.tree.map(put, op, ospec)
-    return jax.jit(fn)(d_dev, o_dev)
+
+def place(data: QPData, op: NSOp, mesh, axis: str = "kkt"):
+    """Pad the pair axis and device_put (data, op) onto the mesh ONCE —
+    callers that solve repeatedly (replans, timing reps) should place
+    once and pass the placed trees to solve_ns_phases_sharded, or the
+    multi-GB pivot inventory re-uploads every call."""
+    n = mesh.shape[axis]
+    data = pad_pairs(data, n)
+    dspec, ospec = _specs(data, op, axis)
+
+    def put(leaf, spec):
+        sh = NamedSharding(mesh, spec)
+        if isinstance(leaf, jax.Array) and leaf.sharding == sh:
+            return leaf
+        return jax.device_put(jnp.asarray(leaf), sh)
+
+    return (jax.tree.map(put, data, dspec),
+            jax.tree.map(put, op, ospec))
+
+
+def solve_ns_phases_sharded(data: QPData, phases, op: NSOp, mesh,
+                            axis: str = "kkt"):
+    """Run the phased knot-state ADMM with ONE problem partitioned over
+    ``mesh[axis]``: pivot inventory block-row-sharded, pair constraints
+    P-sharded, coupling carried by psum / all_gather collectives.
+
+    data/op: HOST leaves (numpy) as produced by assemble + prepare_ns_np
+    (flat banded layout), or trees already placed via ``place`` (these
+    skip padding/transfer).  Returns (x [B, 3, D], SolveInfo),
+    replicated.  The jitted program is cached per (mesh, axis, phases).
+    """
+    _check_phases(phases)
+    n = mesh.shape[axis]
+    bs = int(op.Dinvs.shape[-1])
+    if bs % n != 0:
+        raise ValueError(f"pivot block size {bs} must divide over "
+                         f"{n} devices (pad agents or change the mesh)")
+    if op.Dinvs.ndim != 4:
+        raise ValueError("op must be prepared in the FLAT banded layout "
+                         "(fused_chunk/thomas_kernel preps cannot shard)")
+    d_dev, o_dev = place(data, op, mesh, axis)
+    dspec, ospec = _specs(d_dev, o_dev, axis)
+    return _jitted(mesh, axis, tuple(phases), dspec, ospec)(d_dev, o_dev)

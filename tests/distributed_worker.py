@@ -66,10 +66,13 @@ if mode == "joint":
     data = jax.tree.map(
         lambda a: np.asarray(a, np.float32)
         if np.asarray(a).dtype == np.float64 else np.asarray(a), data)
+    # adapt_threshold pins the rung (see tests/test_shard.py::_phases —
+    # the cross-path equality must not hinge on a reduction-order ulp)
     s0 = nullspace.NSSettings(kkt_mode="banded", max_iter=100,
                               check_every=50, eps_abs=0.0, eps_rel=0.0,
                               eps_dual_abs=0.0, rho_min=1e-4,
-                              rho_max=1e-1, n_rungs=4)
+                              rho_max=1e-1, n_rungs=4,
+                              adapt_threshold=1e9)
     op = nullspace.prepare_ns_np(data, s0)
 
     # local single-device reference (plain XLA scan path)

@@ -30,9 +30,15 @@ def _f32(data):
 
 
 def _phases(max_iters=(100, 100)):
+    # adapt_threshold=1e9 pins the rho rung: the sharded path's psum /
+    # all_gather re-associate the f32 reductions, and a residual ratio
+    # landing exactly on an adaptation boundary could flip the rung on
+    # one path only — the exact-equality comparison must not depend on
+    # that coin toss (zero tolerances already force full budgets)
     base = nullspace.NSSettings(kkt_mode="banded", check_every=50,
                                 eps_abs=0.0, eps_rel=0.0, eps_dual_abs=0.0,
-                                rho_min=1e-4, rho_max=1e-1, n_rungs=4)
+                                rho_min=1e-4, rho_max=1e-1, n_rungs=4,
+                                adapt_threshold=1e9)
     return tuple(dataclasses.replace(base, max_iter=mi) for mi in max_iters)
 
 

@@ -18,10 +18,10 @@ transfer) drops out of the replan loop entirely.
 
 Variants, per replan round (warm-started from the round-0 solution,
 RSFC refreshed from it — the qp/joint.py replan flow):
-  f64host   fresh prepare_ns_np + transfer          (production today)
-  f32dev    on-device prepare_ns, kkt_refine=0
-  f32dev+r1 on-device prepare_ns, kkt_refine=1
-  f32dev+r2 on-device prepare_ns, kkt_refine=2
+  f64host-{5,3,2}rung   fresh prepare_ns_np + transfer, full or
+                        shrunken rho ladder
+  f32dev-{5,3}rung      on-device prepare_ns (flat layout), kkt_refine
+                        0 and 1
 
 Usage: python tools/replan_study.py [--seed 0] [--cpu] [--budgets 200,600,100]
 """

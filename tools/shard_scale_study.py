@@ -68,22 +68,25 @@ def main():
     inv_bytes = int(np.asarray(op.Dinvs).nbytes)
     log(f"64-agent prep {prep_s:.1f}s, inventory {inv_bytes / 1e6:.0f} MB")
 
+    import jax.numpy as jnp
+
     for n in (1, 2, 4, 8):
         if n > len(jax.devices()):
             break
         mesh = Mesh(np.array(jax.devices()[:n]), ("kkt",))
+        d_dev, o_dev = nullspace_shard.place(data, op, mesh)
         t0 = time.perf_counter()
         x, info = nullspace_shard.solve_ns_phases_sharded(
-            data, phases, op, mesh)
+            d_dev, phases, o_dev, mesh)
         x = np.asarray(x, np.float64)
         first_s = time.perf_counter() - t0
         times = []
         for rr in range(2):
             d2 = dataclasses.replace(
-                data, x0=np.asarray(data.x0) + np.float32(3e-6 * (rr + 1)))
+                d_dev, x0=d_dev.x0 + jnp.float32(3e-6 * (rr + 1)))
             t0 = time.perf_counter()
             x2, _ = nullspace_shard.solve_ns_phases_sharded(
-                d2, phases, op, mesh)
+                d2, phases, o_dev, mesh)
             np.asarray(x2)
             times.append(time.perf_counter() - t0)
         ctrl = x.transpose(0, 2, 1).reshape(64, plan.M, param.n + 1, 3)
