@@ -121,6 +121,7 @@ def solve_trajectories(plan: PlanResult, mission: Mission, param: Param,
                        phases: tuple[nullspace.NSSettings, ...] | None = None,
                        replan_budgets: tuple[int, int, int] | None = None,
                        replan_prep: str | None = None,
+                       cold_prep: str = "host",
                        ) -> PlanResult:
     """Pipeline entry for Param.solver == "nullspace": fills plan.ctrl /
     plan.coef / plan.solver_info like seqbatch.solve_trajectories.
@@ -148,6 +149,17 @@ def solve_trajectories(plan: PlanResult, mission: Mission, param: Param,
                 corridor perturbations; a full RSFC refresh fails the
                 gate on the stale inventory (tools/staleop_study.py).
       None      auto: "device" on accelerator backends, "fresh" on CPU.
+
+    cold_prep — the ROUND-0 inventory:
+      "host"    host-f64 prep (default): the maximum-polish operator
+                (bench headline; objective 0.959-class) at a 2.5-6 s
+                64-agent prep+transfer cost.
+      "device"  on-device f32 prep + kkt_refine=1 phases for round 0
+                too: time-to-first-plan collapses (64 agents: ~0.2 s
+                prep + 0.58 s solve; 256 agents: 1.1 s prep vs 8 min —
+                benchmarks/devprep256_tpu.json, objective parity with
+                host prep under refine) at a modestly slower warm
+                cycle (the refine path cannot run the fused kernel).
     """
     import jax.numpy as jnp
 
@@ -168,12 +180,31 @@ def solve_trajectories(plan: PlanResult, mission: Mission, param: Param,
                          "fused_chunk phases; use replan_prep='fresh'")
     n, M, N = param.n, plan.M, mission.qn
 
+    if cold_prep not in ("host", "device"):
+        raise ValueError(f"cold_prep: unknown mode {cold_prep!r}")
+    if cold_prep == "device" and replan_prep == "stale":
+        raise ValueError("replan_prep='stale' needs the host-resident "
+                         "round-0 operator (cold_prep='host')")
     data, dummy = assemble_joint(plan, mission, param)
-    t0 = time.perf_counter()
-    op = nullspace.prepare_ns_np(data, phases[0])   # host f64, once
-    prep_s = time.perf_counter() - t0
-
-    op_dev = jax.device_put(op)     # pivot inventory uploaded ONCE
+    if cold_prep == "device":
+        # low-latency first plan: f32 prep on device + refine-1 phases
+        # (quality recovered by PCG against the fresh operator — same
+        # recipe as replan_prep="device")
+        phases = production_phases(
+            tuple(s.max_iter for s in phases), base=phases[1],
+            kkt_refine=1)
+        t0 = time.perf_counter()
+        op = None
+        op_dev = jax.jit(
+            lambda d: nullspace.prepare_ns(d, phases[0]))(
+            jax.tree.map(jnp.asarray, data))
+        jax.block_until_ready(op_dev.Dinvs)
+        prep_s = time.perf_counter() - t0
+    else:
+        t0 = time.perf_counter()
+        op = nullspace.prepare_ns_np(data, phases[0])   # host f64, once
+        prep_s = time.perf_counter() - t0
+        op_dev = jax.device_put(op)     # pivot inventory uploaded ONCE
 
     def run(data_h, op_d, ph):
         x, info = _solve_phases_jit(jax.tree.map(jnp.asarray, data_h),

@@ -166,3 +166,50 @@ def test_replan_prep_device_collision_free():
     assert ratio >= 1.0, ratio
     goal_err = np.abs(plan.ctrl[:, -1, -1] - mission.goal[:, :3]).max()
     assert goal_err < 1e-4, goal_err
+
+
+def test_cold_prep_device_collision_free():
+    """cold_prep='device': the low-latency first plan (on-device f32
+    prep + refine-1 phases for round 0) must land collision-free with
+    goal pins — the time-to-first-plan mode (64 agents ~0.8 s, 256
+    agents ~28 s vs 8 min host prep, benchmarks/devprep256_tpu.json)."""
+    import jax.numpy as jnp
+
+    import swarm_simulator_tpu as sst
+    from swarm_simulator_tpu.corridor.times import build_corridors
+    from swarm_simulator_tpu.eval.safety import safety_margin_ratio
+    from swarm_simulator_tpu.eval.sample import (sample_times,
+                                                 sample_trajectories)
+    from swarm_simulator_tpu.io.mission_json import load_mission
+    from swarm_simulator_tpu.qp import joint
+    from swarm_simulator_tpu.search.planner import plan_initial_trajectories
+    from swarm_simulator_tpu.world.esdf import ESDF
+    from swarm_simulator_tpu.world.forest import generate_forest
+
+    mission = load_mission(
+        "/root/reference/swarm_planner/missions/mission_8agents_12.json")
+    param = sst.Param(world_z_min=0.0, solver_dtype="float32",
+                      grid_xy_res=0.5, grid_z_res=0.5, solver="nullspace")
+    world = generate_forest(mission, world_min=param.world_min,
+                            world_max=param.world_max, obs_num=6,
+                            h_min=1.0, h_max=2.5, margin=0.5, seed=3)
+    esdf = ESDF(world, max_dist=param.esdf_max_dist)
+    plan = plan_initial_trajectories(esdf, mission, param)
+    build_corridors(esdf, plan, mission.radius, param)
+
+    joint.solve_trajectories(plan, mission, param, cold_prep="device")
+    ts = sample_times(np.asarray(plan.T), 0.1)
+    pos = np.asarray(sample_trajectories(
+        jnp.asarray(plan.coef), jnp.asarray(np.asarray(plan.T)),
+        jnp.asarray(ts), n=param.n, derivatives=1))[:, :, 0]
+    ratio = float(safety_margin_ratio(
+        jnp.asarray(pos), jnp.asarray(mission.radius),
+        downwash=param.downwash))
+    assert ratio >= 1.0, ratio
+    assert np.abs(plan.ctrl[:, -1, -1] - mission.goal[:, :3]).max() < 1e-4
+
+    import pytest
+
+    with pytest.raises(ValueError, match="stale"):
+        joint.solve_trajectories(plan, mission, param,
+                                 cold_prep="device", replan_prep="stale")
