@@ -355,3 +355,37 @@ def test_aa_depth_converges_tiny():
     x0 = solve(s0)
     x1 = solve(dataclasses.replace(s0, aa_depth=3))
     assert np.abs(x0 - x1).max() < 1e-4, np.abs(x0 - x1).max()
+
+
+def test_fused_prep_falls_back_on_nonuniform_dt():
+    """fused_chunk is the production DEFAULT on accelerators, so prep
+    must degrade gracefully (flat layout -> XLA scan) when the kernel
+    cannot run: non-uniform segment durations (e.g. flat-corridor
+    rebuilt knots).  Round-2 raised here; round-3 falls back."""
+    import jax
+    import jax.numpy as jnp
+
+    from swarm_simulator_tpu.qp import nullspace
+
+    data, _ = _data(n_agents=3, M=5, nonuniform=True)
+    s = nullspace.NSSettings(kkt_mode="banded", n_rungs=3,
+                             fused_chunk=True, max_iter=100,
+                             check_every=50)
+    op = nullspace.prepare_ns_np(data, s)
+    assert np.asarray(op.Dinvs).ndim == 4          # flat, not grouped
+
+    # the solve takes the XLA scan path off the flat layout and still
+    # produces a valid trajectory (endpoint pins machine-exact)
+    x, info = jax.jit(
+        lambda d, o: nullspace.solve_ns_phases(d, (s,), op=o))(
+        jax.tree.map(jnp.asarray, data), jax.device_put(op))
+    x = np.asarray(x, np.float64)
+    assert np.isfinite(x).all()
+    err = np.abs(np.einsum("rd,bkd->bkr", np.asarray(data.Aeq), x)
+                 - np.asarray(data.deq)).max()
+    assert err < 1e-9, err
+
+    # uniform dt + fused -> grouped layout (the kernel path)
+    data_u, _ = _data(n_agents=3, M=5)
+    op_u = nullspace.prepare_ns_np(data_u, s)
+    assert np.asarray(op_u.Dinvs).ndim == 5
