@@ -72,6 +72,16 @@ def build_argparser() -> argparse.ArgumentParser:
                         "production JOINT whole-swarm path (qp/joint.py, "
                         "host-f64 prep + banded-KKT knot-state ADMM); "
                         "--iteration N>1 = outer corridor replans")
+    p.add_argument("--cold-prep", choices=["host", "device"],
+                   default="host",
+                   help="joint-path round-0 KKT prep: host f64 (max "
+                        "polish + fused warm cycles) or on-device f32 "
+                        "+ PCG refine (low time-to-first-plan)")
+    p.add_argument("--replan-prep",
+                   choices=["auto", "fresh", "device", "stale"],
+                   default="auto",
+                   help="joint-path corridor-replan prep (auto: device "
+                        "on accelerators, fresh host prep on CPU)")
     p.add_argument("--dtype", choices=["float32", "float64"],
                    default="float32")
     p.add_argument("--max-iter", type=int, default=2000)
@@ -132,6 +142,9 @@ def main(argv=None) -> int:
             pp.param, solver_dtype=args.dtype,
             solver_max_iter=args.max_iter, log=args.log,
             corridor_mode="flat" if args.flat else pp.param.corridor_mode,
+            cold_prep=args.cold_prep,
+            replan_prep=(None if args.replan_prep == "auto"
+                         else args.replan_prep),
             **over)
     else:
         param = sst.Param(
@@ -149,6 +162,9 @@ def main(argv=None) -> int:
         solver=args.solver if args.solver is not None else "admm",
         corridor_mode="flat" if args.flat else "rbp",
         solver_dtype=args.dtype, solver_max_iter=args.max_iter,
+        cold_prep=args.cold_prep,
+        replan_prep=(None if args.replan_prep == "auto"
+                     else args.replan_prep),
         log=args.log,
         )
 

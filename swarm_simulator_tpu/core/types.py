@@ -91,10 +91,16 @@ class Param:
     parallel_mode: str = "gauss-seidel"  # or "jacobi" (batches in parallel)
     # "admm": per-batch ADMM / device sweeps (parallel/seqbatch.py).
     # "nullspace": the production JOINT path — whole-swarm QP via the
-    # knot-state banded-KKT ADMM with host-f64 prep (qp/joint.py);
-    # ignores sequential/batch_size, honors iteration as outer corridor
-    # replans on the stale prepared operator
+    # knot-state banded-KKT ADMM (qp/joint.py); ignores sequential/
+    # batch_size, honors iteration as outer corridor replans
     solver: str = "admm"
+    # joint-path prep modes (qp/joint.py solve_trajectories):
+    #   cold_prep: "host" (f64 prep, max polish + fused warm cycles) |
+    #              "device" (low time-to-first-plan)
+    #   replan_prep: None = auto ("device" on accelerators, "fresh" on
+    #              CPU) | "fresh" | "device" | "stale"
+    cold_prep: str = "host"
+    replan_prep: Optional[str] = None
 
     @property
     def world_min(self) -> np.ndarray:

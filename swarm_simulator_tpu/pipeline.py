@@ -70,7 +70,9 @@ def plan(
     t0 = time.perf_counter()
     if param.solver == "nullspace":
         from .qp import joint
-        joint.solve_trajectories(result, mission, param, phases=ns_phases)
+        joint.solve_trajectories(result, mission, param, phases=ns_phases,
+                                 replan_prep=param.replan_prep,
+                                 cold_prep=param.cold_prep)
         times.extra["ns_prep"] = result.solver_info["prep_s"]
     else:
         seqbatch.solve_trajectories(result, mission, param, settings)
