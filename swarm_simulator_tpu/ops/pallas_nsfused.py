@@ -84,10 +84,18 @@ def fused_vmem_bytes(B: int, M: int, P: int) -> int:
 
 def fused_fits(B: int, M: int, P: int,
                budget: int = 112 * 1024 * 1024) -> bool:
-    """Whether the fused kernel's working set fits VMEM.  Also rejects
-    swarms whose 3B agent-axis lanes exceed one GROUP (the row layout
-    stores all (agent, axis) lanes inside a 256-lane group)."""
-    if 3 * B > GROUP:
+    """Whether the fused kernel can run this problem COMPILED.  Rejects:
+      * swarms whose 3B agent-axis lanes exceed one GROUP (the row
+        layout stores all (agent, axis) lanes inside a 256-lane group);
+      * 3B not a multiple of 8: Mosaic requires slices along the
+        grouped-pivot sublane dimension aligned to the 8-sublane tile
+        ("Slice shape along dimension 3 must be aligned to tiling (8)"
+        — hit compiling a 2-agent swarm, B3=6, on the real v5e; the
+        interpreter accepts it, so CI alone did not catch this);
+      * working sets that exceed the VMEM budget.
+    Callers fall back to the flat layout / XLA scan path."""
+    B3 = 3 * B
+    if B3 > GROUP or B3 % 8 != 0:
         return False
     return fused_vmem_bytes(B, M, P) <= budget
 

@@ -389,3 +389,25 @@ def test_fused_prep_falls_back_on_nonuniform_dt():
     data_u, _ = _data(n_agents=3, M=5)
     op_u = nullspace.prepare_ns_np(data_u, s)
     assert np.asarray(op_u.Dinvs).ndim == 5
+
+
+def test_fused_fits_rejects_unaligned_agent_lanes():
+    """Mosaic requires grouped-pivot sublane slices aligned to the
+    8-sublane tile: 3B % 8 != 0 must fall back to the flat layout
+    (hit compiling a 2-agent swarm on the real v5e — the interpreter
+    accepts what the compiler rejects, so this gate lives on host)."""
+    from swarm_simulator_tpu.ops.pallas_nsfused import fused_fits
+    from swarm_simulator_tpu.qp import nullspace
+
+    assert not fused_fits(2, 4, 1)      # B3=6: unaligned
+    assert not fused_fits(4, 8, 6)      # B3=12: unaligned
+    assert fused_fits(8, 8, 28)         # B3=24: aligned
+    assert fused_fits(64, 36, 2016)     # the bench problem
+    assert not fused_fits(256, 72, 32640)   # VMEM + lane-group bound
+
+    # prep honors the rejection: 2 agents + fused -> flat layout
+    data, _ = _data(n_agents=2, M=4)
+    s = nullspace.NSSettings(kkt_mode="banded", n_rungs=3,
+                             fused_chunk=True)
+    op = nullspace.prepare_ns_np(data, s)
+    assert np.asarray(op.Dinvs).ndim == 4
