@@ -367,7 +367,9 @@ def test_fused_prep_falls_back_on_nonuniform_dt():
 
     from swarm_simulator_tpu.qp import nullspace
 
-    data, _ = _data(n_agents=3, M=5, nonuniform=True)
+    # 8 agents: B3=24 is sublane-aligned, so non-uniform dt is the ONLY
+    # reason prep falls back here (fused_fits would reject 3 agents)
+    data, _ = _data(n_agents=8, M=5, nonuniform=True)
     s = nullspace.NSSettings(kkt_mode="banded", n_rungs=3,
                              fused_chunk=True, max_iter=100,
                              check_every=50)
@@ -385,8 +387,8 @@ def test_fused_prep_falls_back_on_nonuniform_dt():
                  - np.asarray(data.deq)).max()
     assert err < 1e-9, err
 
-    # uniform dt + fused -> grouped layout (the kernel path)
-    data_u, _ = _data(n_agents=3, M=5)
+    # uniform dt + fused + aligned lanes -> grouped layout (kernel path)
+    data_u, _ = _data(n_agents=8, M=5)
     op_u = nullspace.prepare_ns_np(data_u, s)
     assert np.asarray(op_u.Dinvs).ndim == 5
 
