@@ -274,7 +274,10 @@ def test_fused_chunk_matches_xla_path():
 
     from swarm_simulator_tpu.qp import nullspace
 
-    data, _ = _data(n_agents=3, M=6)
+    # 8 agents (the smallest sublane-ALIGNED swarm — fused_fits rejects
+    # 3B % 8 != 0, so a 3-agent "fused" solve would silently test the
+    # fallback), M=6: a different knot count than the _8agents test
+    data, _ = _data(n_agents=8, M=6)
     data = jax.tree.map(
         lambda a: np.asarray(a, np.float32)
         if np.asarray(a).dtype == np.float64 else np.asarray(a), data)
@@ -284,6 +287,9 @@ def test_fused_chunk_matches_xla_path():
 
     def solve(s):
         op = nullspace.prepare_ns_np(data, s)
+        if s.fused_chunk:
+            # guard against vacuously comparing XLA to XLA
+            assert np.asarray(op.Dinvs).ndim == 5, "kernel not engaged"
         x, info = jax.jit(
             lambda d, o: nullspace.solve_ns_phases(d, (s,), op=o))(
                 jax.tree.map(jnp.asarray, data), jax.device_put(op))
@@ -316,6 +322,8 @@ def test_fused_chunk_matches_xla_path_8agents():
 
     def solve(s):
         op = nullspace.prepare_ns_np(data, s)
+        if s.fused_chunk:
+            assert np.asarray(op.Dinvs).ndim == 5, "kernel not engaged"
         x, info = jax.jit(
             lambda d, o: nullspace.solve_ns_phases(d, (s,), op=o))(
                 jax.tree.map(jnp.asarray, data), jax.device_put(op))
