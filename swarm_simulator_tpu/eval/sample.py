@@ -38,7 +38,13 @@ def sample_trajectories(coef: jnp.ndarray, T: jnp.ndarray, t: jnp.ndarray,
     vand = jnp.stack(rows, axis=1)  # [S, R, n+1]
 
     segs = coef[:, idx]  # [N, S, n+1, 3]
-    return jnp.einsum("srj,nsjk->nsrk", vand, segs)
+    # precision MUST be pinned: on TPU this einsum runs single-pass
+    # bf16 at default precision, corrupting the acceptance METRICS
+    # (measured on a good 64-agent solve: bf16 sampling reported
+    # continuity 3.0e-2 / ratio 0.989 where true-f32 gives 3.8e-5 /
+    # 1.008 — a gate-quality solve judged as a collision)
+    return jnp.einsum("srj,nsjk->nsrk", vand, segs,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def sample_times(T: np.ndarray, step: float = 0.1) -> np.ndarray:
