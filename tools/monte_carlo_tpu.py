@@ -23,6 +23,11 @@ def log(*a):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scenarios", type=int, default=16)
+    ap.add_argument("--pipeline", type=int, default=None,
+                    help="streaming chunk size (run_monte_carlo "
+                         "pipeline=k); REQUIRED above ~16 scenarios — "
+                         "a single bucket dispatch of 64 scenarios "
+                         "needs 23.7 GB HBM (> the 15.75 GB v5e)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -52,7 +57,8 @@ def main():
 
     t0 = time.perf_counter()
     out = scn.run_monte_carlo(mission, param, n_scenarios=args.scenarios,
-                              seed0=100, settings=settings)
+                              seed0=100, settings=settings,
+                              pipeline=args.pipeline)
     t_total = time.perf_counter() - t0
 
     # warm re-run: same seeds -> same worlds -> same bucketed shapes
@@ -62,7 +68,8 @@ def main():
     t0 = time.perf_counter()
     out2 = scn.run_monte_carlo(mission, param,
                                n_scenarios=args.scenarios,
-                               seed0=100, settings=settings)
+                               seed0=100, settings=settings,
+                               pipeline=args.pipeline)
     t_warm = time.perf_counter() - t0
     buckets = {(sc.plan.M, sc.mission.qn) for sc in out2
                if sc.plan is not None and sc.error is None}
