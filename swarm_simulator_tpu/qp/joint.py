@@ -58,7 +58,13 @@ def production_settings(max_iter: int = 1500,
         max_iter=max_iter, check_every=check_every,
         eps_abs=2e-4, eps_rel=2e-4, eps_dual_abs=5e-3, tighten=2e-3,
         warm_start="x0", kkt_mode="banded",
-        rho_min=1e-5, rho_max=1e-2, n_rungs=5)
+        rho_min=1e-5, rho_max=1e-2, n_rungs=5,
+        # two-dot mantissa split on the fused kernel's MXU pair
+        # contractions: ~10 us/iter (~20% of the device-side solve)
+        # faster on the v5e, gate-validated on forest seeds 0-9
+        # (BENCH_r03 + benchmarks/seeds59_gate_split2_tpu.log); the
+        # NSSettings default stays 3 (max accuracy) for non-recipe use
+        fused_pair_split=2)
 
 
 def production_phases(budgets: tuple[int, int, int] = PRODUCTION_BUDGETS,

@@ -151,6 +151,15 @@ class NSSettings:
     # (group-padded pivot layout).  Mutually exclusive with
     # thomas_kernel and kkt_refine.
     fused_chunk: bool = False
+    # Mantissa-split depth of the fused kernel's MXU pair contractions
+    # (ops/pallas_nsfused dot3): 3 = ~f32-exact A-applies (three bf16
+    # dots per apply), 2 = ~16 mantissa bits (two dots, measured
+    # ~10 us/iter faster on the v5e = ~20% of the device-side solve).
+    # The ~1e-5-relative apply error is absorbed by the 2e-3
+    # constraint tighten margin; gate-validated across the forest
+    # seeds before being made the bench default (see ARCHITECTURE.md
+    # round-3 continuation notes).
+    fused_pair_split: int = 3
     # Anderson acceleration (type II) applied at CHUNK level: the map
     # G(v) = check_every ADMM iterations on the packed state
     # v = (w, z, y), accelerated with a depth-aa_depth rolling history.
@@ -1046,7 +1055,8 @@ def _iterate_ns(data: QPData, op: NSOp, s: NSSettings, init=None,
     def chunk_map(w_, z_, y_, rho_idx_):
         if fused:
             return run_chunk(ops_f, rho_idx_, s.sigma, s.alpha,
-                             w_, z_, y_, n_inner=s.check_every)
+                             w_, z_, y_, n_inner=s.check_every,
+                             pair_split=s.fused_pair_split)
         (w_, z_, y_, _), _ = jax.lax.scan(
             admm_step, (w_, z_, y_, rho_idx_), None,
             length=s.check_every)

@@ -87,13 +87,18 @@ def test_production_recipe_pinned():
     KKT, and the rho fences."""
     import numpy as np
 
-    from swarm_simulator_tpu.qp import joint
+    from swarm_simulator_tpu.qp import joint, nullspace
 
     s = joint.production_settings()
     assert s.kkt_mode == "banded"
     assert (s.n_rungs, s.rho_min, s.rho_max) == (5, 1e-5, 1e-2)
     assert s.tighten == 2e-3 and s.warm_start == "x0"
     assert s.aa_depth == 0 and not s.fused_chunk  # measured defaults
+    # two-dot pair-contraction split: gate-validated seeds 0-9 on the
+    # v5e (benchmarks/seeds59_gate_split2_tpu.log); NSSettings default
+    # stays 3
+    assert s.fused_pair_split == 2
+    assert nullspace.NSSettings().fused_pair_split == 3
     ladder = np.logspace(np.log10(s.rho_min), np.log10(s.rho_max),
                          s.n_rungs)
     old9 = np.logspace(-5, 1, 9)

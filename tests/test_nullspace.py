@@ -336,6 +336,50 @@ def test_fused_chunk_matches_xla_path_8agents():
     assert err < 5e-5, err
 
 
+def test_fused_pair_split2_same_quality():
+    """fused_pair_split=2 (two-dot mantissa split on the MXU pair
+    contractions, ~10 us/iter faster on the v5e) perturbs each A-apply
+    by ~1e-5 relative.  ADMM iterates diverge PATHWISE under any such
+    perturbation, so the pin is on solution QUALITY, not coordinates:
+    same primal-residual class and objective within 1%.  (The
+    production-scale arbiter is the hardware bench gate: 5 forest
+    seeds + extended seeds 5-9 pass with split 2 — BENCH_r03 /
+    benchmarks/seeds59_gate_split2_tpu.log.)"""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from swarm_simulator_tpu.qp import nullspace
+
+    data, _ = _data(n_agents=8, M=6)
+    data = jax.tree.map(
+        lambda a: np.asarray(a, np.float32)
+        if np.asarray(a).dtype == np.float64 else np.asarray(a), data)
+    s3 = nullspace.NSSettings(kkt_mode="banded", max_iter=600,
+                              check_every=50, fused_chunk=True,
+                              eps_abs=0.0, eps_rel=0.0,
+                              eps_dual_abs=0.0)
+    s2 = dataclasses.replace(s3, fused_pair_split=2)
+
+    def solve(s):
+        op = nullspace.prepare_ns_np(data, s)
+        assert np.asarray(op.Dinvs).ndim == 5, "kernel not engaged"
+        x, info = jax.jit(
+            lambda d, o: nullspace.solve_ns_phases(d, (s,), op=o))(
+                jax.tree.map(jnp.asarray, data), jax.device_put(op))
+        return np.asarray(x, np.float64), info
+
+    x3, i3 = solve(s3)
+    x2, i2 = solve(s2)
+    rp3 = float(np.asarray(i3.r_prim))
+    rp2 = float(np.asarray(i2.r_prim))
+    assert rp2 < 2.0 * rp3 + 1e-6, (rp2, rp3)
+    o3 = float(np.asarray(i3.obj))
+    o2 = float(np.asarray(i2.obj))
+    assert abs(o2 - o3) / max(abs(o3), 1e-9) < 1e-2, (o2, o3)
+
+
 def test_aa_depth_converges_tiny():
     """Chunk-level Anderson acceleration (NSSettings.aa_depth) reaches
     the same solution as the plain loop on a small banded problem.
