@@ -479,7 +479,11 @@ def main():
         bytes_cycle = 2.0 * rung_bytes * iters
         path = "xla-scan"
     gbps = bytes_cycle / dt_pipe / 1e9
-    ceiling = 250.0          # GB/s, measured (tools/pallas_debug)
+    # best MEASURED pivot-stream rate: the double-buffered streaming
+    # Thomas kernel at 256-agent shapes (benchmarks/
+    # profile256_kkt_paths_tpu.json; v5e HBM spec ~819).  The earlier
+    # "250 GB/s ceiling" was an XLA-scan artifact of 64-agent shapes.
+    ceiling = 460.0          # GB/s
     log(f"utilization ({path}): {bytes_cycle / 1e9:.1f} GB pivot stream "
         f"per cycle -> {gbps:.0f} GB/s achieved "
         f"({100 * gbps / ceiling:.0f}% of the {ceiling:.0f} GB/s "

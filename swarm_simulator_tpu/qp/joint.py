@@ -91,6 +91,11 @@ def production_phases(budgets: tuple[int, int, int] = PRODUCTION_BUDGETS,
         # schedules derived from the cold phases re-resolve to the
         # same backend and stay consistent
         fused = jax.default_backend() != "cpu"
+    if b.thomas_kernel:
+        # the streaming-Thomas path (big aligned swarms, see
+        # solve_trajectories) is mutually exclusive with the fused
+        # chunk kernel — a derived schedule keeps the base's path
+        fused = False
     b = dataclasses.replace(b, fused_chunk=bool(fused),
                             kkt_refine=kkt_refine)
     if kkt_refine:
@@ -100,6 +105,31 @@ def production_phases(budgets: tuple[int, int, int] = PRODUCTION_BUDGETS,
     return (dataclasses.replace(b, max_iter=budgets[0], rho_lo=1e-3),
             dataclasses.replace(b, max_iter=budgets[1]),
             dataclasses.replace(b, max_iter=budgets[2], rho_lo=1e-2))
+
+
+def select_kkt_path(phases, qn: int, M: int, n_pairs: int, phi: int,
+                    backend: str | None = None):
+    """KKT-apply path auto-selection past the fused VMEM bound: the
+    fused chunk kernel covers swarms whose working set fits VMEM
+    (<= ~85 agents; prep falls back to the flat layout beyond it).
+    Past that bound the XLA scan only achieves ~half the achievable
+    pivot-stream bandwidth at big [bs, bs] block shapes (measured
+    23.7 -> 6.5 ms per 256-agent KKT apply on the v5e,
+    tools/profile_256_solve.py), so aligned big swarms route to the
+    double-buffered streaming Thomas kernel (ops/pallas_thomas.py)
+    instead.  Only rewrites schedules that requested the fused kernel
+    (i.e. the accelerator production default); explicit XLA-path or
+    CPU schedules pass through untouched."""
+    backend = backend if backend is not None else jax.default_backend()
+    if backend == "cpu" or not any(p.fused_chunk for p in phases):
+        return phases
+    from ..ops.pallas_nsfused import fused_fits
+    bs = 3 * qn * phi
+    if (not fused_fits(qn, M, n_pairs)) and bs % 128 == 0:
+        return tuple(dataclasses.replace(p, fused_chunk=False,
+                                         thomas_kernel=True)
+                     for p in phases)
+    return phases
 
 
 def assemble_joint(plan: PlanResult, mission: Mission, param: Param,
@@ -173,6 +203,8 @@ def solve_trajectories(plan: PlanResult, mission: Mission, param: Param,
 
     if phases is None:
         phases = production_phases()
+    phases = select_kkt_path(phases, mission.qn, plan.M,
+                             len(np.asarray(plan.pair_idx)), param.phi)
     if replan_prep is None:
         replan_prep = ("device" if jax.default_backend() != "cpu"
                        else "fresh")
@@ -251,8 +283,13 @@ def solve_trajectories(plan: PlanResult, mission: Mission, param: Param,
             elif replan_prep == "device":
                 # fresh-operator prep ON DEVICE (f32 inverses; the
                 # kkt_refine=1 PCG in rphases recovers the polish
-                # quality against the fresh operator)
+                # quality against the fresh operator).  Release the
+                # PREVIOUS round's inventory first: at 256 agents each
+                # is 7.5 GB, and holding both while the fresh one is
+                # computed exceeds the 16 GB HBM (measured
+                # RESOURCE_EXHAUSTED at the first replan round)
                 t0 = time.perf_counter()
+                op_dev = None
                 op_dev = prep_jit(jax.tree.map(jnp.asarray, data))
                 jax.block_until_ready(op_dev.Dinvs)
                 prep_s += time.perf_counter() - t0
@@ -260,6 +297,7 @@ def solve_trajectories(plan: PlanResult, mission: Mission, param: Param,
                 t0 = time.perf_counter()
                 op = nullspace.prepare_ns_np(data, rphases[0])
                 prep_s += time.perf_counter() - t0
+                op_dev = None          # see replan_prep="device" note
                 op_dev = jax.device_put(op)
             ctrl, info = run(data, op_dev, rphases)
             replan_rounds += 1

@@ -741,6 +741,13 @@ def _prepare_ns_impl(data: QPData, s: NSSettings) -> NSOp:
                                  "mutually exclusive")
             if fused_fits(B, M, data.pair_n.shape[0]):
                 Dinvs = prep_pivots_grouped(Dinvs, phi)
+        if s.thomas_kernel and Mi > 1:
+            # device twin of the prepare_ns_np hook: pad ONCE to the
+            # Mosaic 128-lane DMA grid (uniform dt cannot be asserted
+            # on traced values — the kernel silently assumes constant
+            # Ho, which the pipeline's T = i*time_step guarantees)
+            from ..ops.pallas_thomas import pad_pivots
+            Dinvs = pad_pivots(Dinvs)
         return NSOp(N=N, x_pin=x_pin, g=g, F0=F0, FT=FT, c_s=c_s,
                     ladder=ladder, Kinvs=None, Dinvs=Dinvs, Kos=Ho)
 

@@ -124,6 +124,42 @@ def test_production_recipe_pinned():
     assert all(not p.fused_chunk and p.kkt_refine == 1 for p in r)
 
 
+def test_kkt_path_autoselection():
+    """Past the fused VMEM bound, aligned big swarms route to the
+    streaming Pallas Thomas kernel (measured 3.4x the XLA scan on the
+    256-agent solve, tools/profile_256_solve.py); small swarms keep
+    the fused kernel; unaligned big swarms fall back to the XLA scan;
+    CPU and explicit-XLA schedules pass through untouched."""
+    import dataclasses
+
+    from swarm_simulator_tpu.qp import joint
+
+    ph = joint.production_phases(fused=True)
+
+    def sel(qn, M=40, pairs=None, backend="tpu", phases=ph):
+        pairs = qn * (qn - 1) // 2 if pairs is None else pairs
+        return joint.select_kkt_path(phases, qn, M, pairs, 3,
+                                     backend=backend)
+
+    # 64 agents fits VMEM -> fused stays
+    assert all(p.fused_chunk and not p.thomas_kernel for p in sel(64, 36))
+    # 256 agents: bs = 2304 = 18*128 aligned -> streaming Thomas
+    big = sel(256, 72)
+    assert all(p.thomas_kernel and not p.fused_chunk for p in big)
+    # 96 agents: past VMEM but bs = 864 not 128-aligned -> XLA scan
+    mid = sel(96, 72)
+    assert all(not p.thomas_kernel and p.fused_chunk for p in mid)
+    # CPU backend: untouched
+    assert sel(256, 72, backend="cpu") is ph
+    # explicit XLA schedule: untouched
+    xla = joint.production_phases(fused=False)
+    assert joint.select_kkt_path(xla, 256, 72, 100, 3,
+                                 backend="tpu") is xla
+    # derived replan schedules keep the thomas path, never re-fuse
+    r = joint.production_phases(base=big[1], kkt_refine=1)
+    assert all(p.thomas_kernel and not p.fused_chunk for p in r)
+
+
 def test_replan_prep_device_collision_free():
     """replan_prep='device' (the accelerator-default replan mode:
     on-device f32 prep of the fresh operator + kkt_refine=1 PCG) must

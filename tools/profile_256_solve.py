@@ -34,6 +34,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--agents", type=int, default=256)
     ap.add_argument("--refine", type=int, default=0)
+    ap.add_argument("--thomas", action="store_true",
+                    help="streaming Pallas Thomas kernel for the KKT "
+                    "applies (ops/pallas_thomas.py) instead of the XLA "
+                    "scan — requires 128-aligned bs and uniform dt")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--reps", type=int, default=3)
     args = ap.parse_args()
@@ -77,7 +81,7 @@ def main():
         max_iter=1500, check_every=50, eps_abs=2e-4, eps_rel=2e-4,
         eps_dual_abs=5e-3, tighten=2e-3, warm_start="x0",
         kkt_mode="banded", rho_min=3e-5, n_rungs=5,
-        kkt_refine=args.refine)
+        kkt_refine=args.refine, thomas_kernel=args.thomas)
 
     def phases(budgets):
         return (dataclasses.replace(base, max_iter=budgets[0],
@@ -133,7 +137,8 @@ def main():
 
     @functools.partial(jax.jit, static_argnames=("n",))
     def kinv_loop(o, w, n):
-        ka = nullspace.make_kinv_apply(o, B, K3, plan.M, phi)
+        ka = nullspace.make_kinv_apply(o, B, K3, plan.M, phi,
+                                       thomas_kernel=args.thomas)
 
         def step(v, _):
             return ka(2, v) * 0.999, 0
@@ -184,7 +189,7 @@ def main():
 
     print(json.dumps(dict(
         agents=N, M=int(plan.M), pairs=int(len(plan.pair_idx)),
-        refine=args.refine,
+        refine=args.refine, thomas=bool(args.thomas),
         solve_s=round(t_big, 2), iters=it_big,
         per_iter_ms=round(per_iter_ms, 3),
         kinv_ms=round(ka * 1e3, 3),
