@@ -99,9 +99,18 @@ def production_phases(budgets: tuple[int, int, int] = PRODUCTION_BUDGETS,
     b = dataclasses.replace(b, fused_chunk=bool(fused),
                             kkt_refine=kkt_refine)
     if kkt_refine:
-        # the fused kernel has no fresh-K apply; a refined (stale-op)
-        # schedule derived from fused base phases must drop the kernel
-        b = dataclasses.replace(b, fused_chunk=False)
+        # the fused kernel has no fresh-K apply; a refined (replan)
+        # schedule derived from fused base phases drops the kernel —
+        # and routes its PCG preconditioner applies through the
+        # streaming Thomas kernel instead (measured 2.4x the XLA scan
+        # on the 64-agent refine-1 solve, 1.53 -> 0.64 s;
+        # benchmarks/profile256_kkt_paths_tpu.json carries the
+        # 96/256-agent points).  CPU keeps the XLA scan (Mosaic is
+        # TPU-only; interpret mode is for tests).
+        thomas = b.thomas_kernel or (bool(fused)
+                                     and jax.default_backend() != "cpu")
+        b = dataclasses.replace(b, fused_chunk=False,
+                                thomas_kernel=thomas)
     return (dataclasses.replace(b, max_iter=budgets[0], rho_lo=1e-3),
             dataclasses.replace(b, max_iter=budgets[1]),
             dataclasses.replace(b, max_iter=budgets[2], rho_lo=1e-2))
@@ -117,15 +126,16 @@ def select_kkt_path(phases, qn: int, M: int, n_pairs: int, phi: int,
     23.7 -> 6.5 ms per 256-agent KKT apply on the v5e,
     tools/profile_256_solve.py), so aligned big swarms route to the
     double-buffered streaming Thomas kernel (ops/pallas_thomas.py)
-    instead.  Only rewrites schedules that requested the fused kernel
-    (i.e. the accelerator production default); explicit XLA-path or
-    CPU schedules pass through untouched."""
+    instead (prep pads the pivots to the 128-lane grid when bs is not
+    naturally aligned — measured 4x even padded at 96 agents,
+    bs = 864 -> 896).  Only rewrites schedules that requested the
+    fused kernel (i.e. the accelerator production default); explicit
+    XLA-path or CPU schedules pass through untouched."""
     backend = backend if backend is not None else jax.default_backend()
     if backend == "cpu" or not any(p.fused_chunk for p in phases):
         return phases
     from ..ops.pallas_nsfused import fused_fits
-    bs = 3 * qn * phi
-    if (not fused_fits(qn, M, n_pairs)) and bs % 128 == 0:
+    if not fused_fits(qn, M, n_pairs):
         return tuple(dataclasses.replace(p, fused_chunk=False,
                                          thomas_kernel=True)
                      for p in phases)

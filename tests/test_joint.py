@@ -143,12 +143,13 @@ def test_kkt_path_autoselection():
 
     # 64 agents fits VMEM -> fused stays
     assert all(p.fused_chunk and not p.thomas_kernel for p in sel(64, 36))
-    # 256 agents: bs = 2304 = 18*128 aligned -> streaming Thomas
+    # 256 agents -> streaming Thomas (bs = 2304, naturally aligned)
     big = sel(256, 72)
     assert all(p.thomas_kernel and not p.fused_chunk for p in big)
-    # 96 agents: past VMEM but bs = 864 not 128-aligned -> XLA scan
+    # 96 agents: past VMEM, bs = 864 pads to 896 at prep -> Thomas too
+    # (measured 4x the XLA scan even padded)
     mid = sel(96, 72)
-    assert all(not p.thomas_kernel and p.fused_chunk for p in mid)
+    assert all(p.thomas_kernel and not p.fused_chunk for p in mid)
     # CPU backend: untouched
     assert sel(256, 72, backend="cpu") is ph
     # explicit XLA schedule: untouched
