@@ -99,6 +99,14 @@ def main():
     phases = (dataclasses.replace(base, max_iter=200, rho_lo=1e-3),
               dataclasses.replace(base, max_iter=600),
               dataclasses.replace(base, max_iter=100, rho_lo=1e-2))
+    # production KKT-apply routing (qp/joint.py): past the fused VMEM
+    # bound big swarms run the streaming Pallas Thomas kernel
+    # (round-3 continuation: 19.05 -> 5.58 s at 256 agents)
+    from swarm_simulator_tpu.qp import joint as qjoint
+    phases = qjoint.select_kkt_path(
+        tuple(dataclasses.replace(p, fused_chunk=True) for p in phases)
+        if jax.default_backend() != "cpu" else phases,
+        N, plan.M, len(plan.pair_idx), param.phi)
 
     t0 = time.perf_counter()
     op = nullspace.prepare_ns_np(data, phases[0])
