@@ -193,7 +193,10 @@ def _call(dinvs, koM, b, rho_idx, interpret):
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, bs, bs), f32),            # double buffer
+            # double buffer matches the inventory dtype (bf16 halves
+            # the HBM stream in precond_dtype="bfloat16" mode; the
+            # VPU promotes bf16 slabs to f32 at the multiply)
+            pltpu.VMEM((2, bs, bs), dinvs.dtype),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.VMEM((Mi, bs), f32),               # T_k rows
             pltpu.VMEM((bs, bs), f32),               # identity

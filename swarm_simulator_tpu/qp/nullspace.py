@@ -119,6 +119,14 @@ class NSSettings:
     # caller asserts both.  Off by default; the production joint bench
     # path turns it on.
     thomas_kernel: bool = False
+    # Storage dtype of the KKT pivot-inverse inventory.  "bfloat16"
+    # halves the dominant HBM pivot stream of the banded apply — legal
+    # ONLY as a PRECONDITIONER, i.e. with kkt_refine >= 1 (the PCG
+    # w-updates against the fresh f32 operator absorb the ~8-bit
+    # mantissa) and thomas_kernel=True (the Pallas kernel reads bf16
+    # slabs natively; the XLA scan would materialize an f32 convert and
+    # lose the bandwidth win).  Enforced at prep.
+    precond_dtype: str = "float32"
     # constraint tightening (meters): the optimum sits ON the separation
     # planes, so a first-order solver's residual infeasibility would tip
     # the strict min-distance-ratio >= 1 acceptance.  Tightening pair rhs
@@ -302,6 +310,21 @@ class _blas_single_threaded:
         if self._ctx is not None:
             self._ctx.__exit__(*exc)
         return False
+
+
+def _check_bf16_precond(s: "NSSettings"):
+    """Validity conditions for the half-precision pivot inventory (see
+    NSSettings.precond_dtype)."""
+    if s.kkt_refine < 1:
+        raise ValueError(
+            "precond_dtype='bfloat16' is only a PRECONDITIONER: it "
+            "requires kkt_refine >= 1 (fresh-operator PCG absorbs the "
+            "~8-bit mantissa)")
+    if not s.thomas_kernel:
+        raise ValueError(
+            "precond_dtype='bfloat16' requires thomas_kernel=True "
+            "(the XLA scan path would materialize an f32 convert and "
+            "lose the bandwidth win)")
 
 
 def prepare_ns_np(data: QPData, s: NSSettings) -> NSOp:
@@ -521,8 +544,14 @@ def prepare_ns_np(data: QPData, s: NSSettings) -> NSOp:
             # would re-copy the ~0.5 GB inventory every solve dispatch)
             from ..ops.pallas_thomas import pad_pivots
             Dinvs = pad_pivots(Dinvs)
-        return finish(N=N, x_pin=x_pin, g=g, F0=F0, FT=FT, c_s=c_s,
-                      ladder=ladder, Kinvs=None, Dinvs=Dinvs, Kos=Ho)
+        op = finish(N=N, x_pin=x_pin, g=g, F0=F0, FT=FT, c_s=c_s,
+                    ladder=ladder, Kinvs=None, Dinvs=Dinvs, Kos=Ho)
+        if s.precond_dtype == "bfloat16":
+            _check_bf16_precond(s)
+            import ml_dtypes
+            op = op._replace(
+                Dinvs=op.Dinvs.astype(ml_dtypes.bfloat16))
+        return op
 
     H = c_s * H_raw + s.sigma * onp.eye(nw)
     NtN = N.T @ N
@@ -748,6 +777,9 @@ def _prepare_ns_impl(data: QPData, s: NSSettings) -> NSOp:
             # Ho, which the pipeline's T = i*time_step guarantees)
             from ..ops.pallas_thomas import pad_pivots
             Dinvs = pad_pivots(Dinvs)
+        if s.precond_dtype == "bfloat16":
+            _check_bf16_precond(s)
+            Dinvs = Dinvs.astype(jnp.bfloat16)
         return NSOp(N=N, x_pin=x_pin, g=g, F0=F0, FT=FT, c_s=c_s,
                     ladder=ladder, Kinvs=None, Dinvs=Dinvs, Kos=Ho)
 
@@ -817,6 +849,11 @@ def make_kinv_apply(op: NSOp, B: int, K3: int, M: int, phi: int,
 
         return kinv_apply_pallas
 
+    if op.Dinvs is not None and op.Dinvs.dtype == jnp.bfloat16:
+        raise ValueError(
+            "bf16 pivot inventory (precond_dtype='bfloat16') requires "
+            "the Pallas Thomas kernel — the XLA scan would promote it "
+            "back to f32 and lose the bandwidth win")
     if op.Dinvs is not None and op.Dinvs.shape[-1] != bs:
         raise ValueError(
             "operator was prepared for the Pallas Thomas kernel "

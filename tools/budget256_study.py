@@ -28,6 +28,11 @@ def log(*a):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--agents", type=int, default=256)
+    ap.add_argument("--refine", type=int, default=0,
+                    help="kkt_refine PCG steps (1 = the replan mode)")
+    ap.add_argument("--bf16", action="store_true",
+                    help="bf16 pivot preconditioner (requires --refine"
+                    " >= 1; halves the dominant HBM stream)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -73,7 +78,8 @@ def main():
         max_iter=1500, check_every=50, eps_abs=2e-4, eps_rel=2e-4,
         eps_dual_abs=5e-3, tighten=2e-3, warm_start="x0",
         kkt_mode="banded", rho_min=3e-5, n_rungs=5,
-        thomas_kernel=not args.cpu)
+        thomas_kernel=not args.cpu, kkt_refine=args.refine,
+        precond_dtype="bfloat16" if args.bf16 else "float32")
 
     def phases(budgets):
         return (dataclasses.replace(base, max_iter=budgets[0],
@@ -138,6 +144,7 @@ def main():
                             ok=bool(ok)))
     print(json.dumps(dict(agents=N, M=int(plan.M),
                           pairs=int(len(plan.pair_idx)),
+                          refine=args.refine, bf16=bool(args.bf16),
                           results=results)))
 
 
