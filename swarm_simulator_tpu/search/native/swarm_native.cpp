@@ -19,10 +19,13 @@
 #include <chrono>
 #include <cmath>
 #include <cstdint>
+#include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <limits>
 #include <memory>
 #include <queue>
+#include <thread>
 #include <unordered_map>
 #include <unordered_set>
 #include <vector>
@@ -357,15 +360,92 @@ struct Conflict {
   St s1, s2, s1b, s2b;
 };
 
-bool firstConflict(const Env& env, const std::vector<Path>& sol,
-                   Conflict* out) {
+// Spatially bucketed first-conflict scan.  The naive scan is
+// O(N^2 * T) pair checks per high-level expansion (environment.hpp's
+// getFirstConflict analog) — 4.7M checks at 256 agents, the second
+// hottest loop of the search.  Conflicts only occur between agents
+// within rsum (vertex, environment.hpp:656-664) or rsum + 2 cells of
+// relative motion (edge: each agent moves <= 1 cell per step, so the
+// relative segment endpoint wanders <= 2 cells from its start), so
+// bucketing agents on a coarse grid of side R = ceil(rsum_max) + 2
+// cells reduces candidates to the 27 neighboring buckets.  Candidate
+// pairs are visited in exactly the nested-loop (t, vertex-then-edge,
+// lexicographic i<j) order, so the returned conflict — and therefore
+// the whole high-level branching sequence — is bit-identical to the
+// naive scan's.
+bool firstConflict(const Env& env, const std::vector<Path>& sol, int tSafe,
+                   int lastAgent, Conflict* out) {
   int maxT = 0;
   for (auto& p : sol) maxT = std::max(maxT, static_cast<int>(p.size()) - 1);
   int n = static_cast<int>(sol.size());
-  for (int t = 0; t < maxT; ++t) {
+  double qmax = 0;
+  for (double q : env.quad) qmax = std::max(qmax, q);
+  const int R = static_cast<int>(std::ceil(2 * qmax / env.gridSize)) + 2;
+
+  // Restricted prefix: this node's parent had NO conflicts before time
+  // tSafe (its first conflict was at tSafe, where this node's agent
+  // `lastAgent` was re-planned), so conflicts at t < tSafe can only
+  // involve lastAgent.  Check only those pairs, in the same
+  // lexicographic order the full scan would visit them.
+  const int a = lastAgent;
+  for (int t = 0; a >= 0 && t < std::min(tSafe, maxT); ++t) {
+    const St& sa = stateAt(sol[a], t);
+    const St& sab = stateAt(sol[a], t + 1);
+    for (int j = 0; j < n; ++j) {
+      if (j == a) continue;
+      const St& sj = stateAt(sol[j], t);
+      if (env.vertexConflict(a, j, sa, sj)) {
+        if (j < a)
+          *out = {t, j, a, false, sj, sa, {}, {}};
+        else
+          *out = {t, a, j, false, sa, sj, {}, {}};
+        return true;
+      }
+    }
+    for (int j = 0; j < n; ++j) {
+      if (j == a) continue;
+      const St& sja = stateAt(sol[j], t);
+      const St& sjb = stateAt(sol[j], t + 1);
+      if (env.edgeConflict(a, j, sa, sab, sja, sjb)) {
+        if (j < a)
+          *out = {t, j, a, true, sja, sa, sjb, sab};
+        else
+          *out = {t, a, j, true, sa, sja, sab, sjb};
+        return true;
+      }
+    }
+  }
+
+  auto bkey = [&](int x, int y, int z) {
+    return cellKey(x / R + 1, y / R + 1, z / R + 1);  // +1: coords >= 0
+  };
+  std::unordered_map<uint64_t, std::vector<int>> buckets;
+  buckets.reserve(2 * n);
+  std::vector<int> cand;
+
+  for (int t = std::max(0, a >= 0 ? tSafe : 0); t < maxT; ++t) {
+    buckets.clear();
+    for (int j = 0; j < n; ++j) {
+      const St& s = stateAt(sol[j], t);
+      buckets[bkey(s.x, s.y, s.z)].push_back(j);  // ascending j
+    }
+    auto candidates = [&](const St& s, int i) {
+      cand.clear();
+      for (int dx = -1; dx <= 1; ++dx)
+        for (int dy = -1; dy <= 1; ++dy)
+          for (int dz = -1; dz <= 1; ++dz) {
+            auto it = buckets.find(cellKey(s.x / R + 1 + dx, s.y / R + 1 + dy,
+                                           s.z / R + 1 + dz));
+            if (it == buckets.end()) continue;
+            for (int j : it->second)
+              if (j > i) cand.push_back(j);
+          }
+      std::sort(cand.begin(), cand.end());
+    };
     for (int i = 0; i < n; ++i) {
       const St& s1 = stateAt(sol[i], t);
-      for (int j = i + 1; j < n; ++j) {
+      candidates(s1, i);
+      for (int j : cand) {
         const St& s2 = stateAt(sol[j], t);
         if (env.vertexConflict(i, j, s1, s2)) {
           *out = {t, i, j, false, s1, s2, {}, {}};
@@ -376,7 +456,8 @@ bool firstConflict(const Env& env, const std::vector<Path>& sol,
     for (int i = 0; i < n; ++i) {
       const St& s1a = stateAt(sol[i], t);
       const St& s1b = stateAt(sol[i], t + 1);
-      for (int j = i + 1; j < n; ++j) {
+      candidates(s1a, i);
+      for (int j : cand) {
         const St& s2a = stateAt(sol[j], t);
         const St& s2b = stateAt(sol[j], t + 1);
         if (env.edgeConflict(i, j, s1a, s1b, s2a, s2b)) {
@@ -387,6 +468,37 @@ bool firstConflict(const Env& env, const std::vector<Path>& sol,
     }
   }
   return false;
+}
+
+// Conflicts involving ONE agent — the incremental piece of
+// countConflicts.  When a high-level child re-plans a single agent
+// (ecbs.hpp:252-293 semantics), the pairwise conflict count changes
+// only in pairs containing that agent, PROVIDED no two goals conflict
+// permanently (checked once per solve; countConflicts is exact over
+// [0, maxT) and agents other than `a` sit at their goals on the range
+// where maxT differs between parent and child).
+int conflictsInvolving(const Env& env, const std::vector<Path>& sol, int a,
+                       int maxT) {
+  int n = static_cast<int>(sol.size());
+  int count = 0;
+  for (int t = 0; t < maxT; ++t) {
+    const St& s1 = stateAt(sol[a], t);
+    const St& s1b = stateAt(sol[a], t + 1);
+    for (int j = 0; j < n; ++j) {
+      if (j == a) continue;
+      if (env.vertexConflict(a, j, s1, stateAt(sol[j], t))) ++count;
+      if (env.edgeConflict(a, j, s1, s1b, stateAt(sol[j], t),
+                           stateAt(sol[j], t + 1)))
+        ++count;
+    }
+  }
+  return count;
+}
+
+int solMaxT(const std::vector<Path>& sol) {
+  int maxT = 0;
+  for (auto& p : sol) maxT = std::max(maxT, static_cast<int>(p.size()) - 1);
+  return maxT;
 }
 
 int countConflicts(const Env& env, const std::vector<Path>& sol) {
@@ -417,6 +529,10 @@ struct HLNode {
   std::vector<Constraints> constraints;
   int cost, focalH;
   long id;
+  // first-conflict prefix guarantee: conflicts at t < tSafe can only
+  // involve lastAgent (the agent re-planned when this node was created)
+  int tSafe = 0;
+  int lastAgent = -1;
 };
 
 }  // namespace
@@ -444,6 +560,9 @@ extern "C" int ecbs_solve(int dimx, int dimy, int dimz,
   }
   if (maxTime <= 0) maxTime = 2 * dimx * dimy * dimz + 100;
 
+  const bool verbose = std::getenv("SWARM_ECBS_VERBOSE") != nullptr;
+  auto tRoot0 = Clock::now();
+
   // root node
   auto root = std::make_shared<HLNode>();
   root->solution.resize(nAgents);
@@ -459,6 +578,24 @@ extern "C" int ecbs_solve(int dimx, int dimy, int dimz,
     root->cost += cost;
   }
   root->focalH = countConflicts(env, root->solution);
+  // incremental focalH is exact iff no two goals conflict permanently
+  // (see conflictsInvolving); check once, fall back to full recounts if so
+  bool goalsClean = true;
+  for (int i = 0; i < nAgents && goalsClean; ++i)
+    for (int j = i + 1; j < nAgents; ++j) {
+      const St& gi = env.goals[i];
+      const St& gj = env.goals[j];
+      if (env.vertexConflict(i, j, gi, gj) ||
+          env.edgeConflict(i, j, gi, gi, gj, gj)) {
+        goalsClean = false;
+        break;
+      }
+    }
+  auto tRoot1 = Clock::now();
+  if (verbose)
+    std::fprintf(stderr, "[ecbs] root: %.3fs focalH=%d\n",
+                 std::chrono::duration<double>(tRoot1 - tRoot0).count(),
+                 root->focalH);
 
   struct OpenCmp {
     bool operator()(const std::shared_ptr<HLNode>& a,
@@ -489,6 +626,7 @@ extern "C" int ecbs_solve(int dimx, int dimy, int dimz,
   double bound = root->cost * w;
   long nextId = 1;
   long expansions = 0;
+  double tFirstConf = 0, tLowLevel = 0, tCountConf = 0, tCopy = 0;
 
   while (true) {
     while (!open.empty() && popped.count(open.top()->id)) open.pop();
@@ -514,7 +652,18 @@ extern "C" int ecbs_solve(int dimx, int dimy, int dimz,
     if (Clock::now() > deadline) return -4;
 
     Conflict conflict;
-    if (!firstConflict(env, node->solution, &conflict)) {
+    auto tc0 = Clock::now();
+    bool hasConflict = firstConflict(env, node->solution, node->tSafe,
+                                     node->lastAgent, &conflict);
+    tFirstConf += std::chrono::duration<double>(Clock::now() - tc0).count();
+    if (!hasConflict) {
+      if (verbose)
+        std::fprintf(
+            stderr,
+            "[ecbs] high-level: %.3fs expansions=%ld firstConf=%.3fs "
+            "lowLevel=%.3fs countConf=%.3fs copy=%.3fs\n",
+            std::chrono::duration<double>(Clock::now() - tRoot1).count(),
+            expansions, tFirstConf, tLowLevel, tCountConf, tCopy);
       // write out the solution
       for (int i = 0; i < nAgents; ++i) {
         const Path& p = node->solution[i];
@@ -529,11 +678,19 @@ extern "C" int ecbs_solve(int dimx, int dimy, int dimz,
       return 0;
     }
 
-    // branch: constrain each conflicting agent in turn
-    for (int side = 0; side < 2; ++side) {
+    // branch: constrain each conflicting agent in turn.  The two child
+    // re-plans are independent (disjoint constraint copies, const env /
+    // parent node) — run them on two threads (ecbs.hpp:252-293 does
+    // them serially); push order stays side 0 then 1, so the search
+    // remains deterministic.
+    auto tll0 = Clock::now();
+    std::shared_ptr<HLNode> children[2];
+    bool childOk[2] = {false, false};
+    auto makeChild = [&](int side) {
       int agent = side == 0 ? conflict.a1 : conflict.a2;
       auto child = std::make_shared<HLNode>(*node);
-      child->id = nextId++;
+      child->tSafe = conflict.time;
+      child->lastAgent = agent;
       if (!conflict.edge) {
         const St& s = side == 0 ? conflict.s1 : conflict.s2;
         child->constraints[agent].vertex.insert(
@@ -545,16 +702,42 @@ extern "C" int ecbs_solve(int dimx, int dimy, int dimz,
         child->constraints[agent].edge.insert(
             edgeKey(conflict.time, a.x, a.y, a.z, dir));
       }
+      // incremental focal heuristic: subtract this agent's pair
+      // conflicts in the parent solution before the re-plan, add them
+      // back on the child's — identical counts to a full recount
+      // (goalsClean guard above), at O(N*T) instead of O(N^2*T)
+      int confBefore =
+          goalsClean
+              ? conflictsInvolving(env, node->solution, agent,
+                                   solMaxT(node->solution))
+              : 0;
       St s{0, starts[3 * agent], starts[3 * agent + 1], starts[3 * agent + 2]};
       int cost, fmin;
       if (!lowLevelSearch(env, agent, s, child->constraints[agent],
                           child->solution, w, maxTime, deadline,
                           &child->solution[agent], &cost, &fmin))
-        continue;
+        return;
       child->cost = 0;
       for (auto& p : child->solution)
         child->cost += static_cast<int>(p.size()) - 1;
-      child->focalH = countConflicts(env, child->solution);
+      if (goalsClean)
+        child->focalH = node->focalH - confBefore +
+                        conflictsInvolving(env, child->solution, agent,
+                                           solMaxT(child->solution));
+      else
+        child->focalH = countConflicts(env, child->solution);
+      children[side] = child;
+      childOk[side] = true;
+    };
+    std::thread t1(makeChild, 1);
+    makeChild(0);
+    t1.join();
+    tLowLevel += std::chrono::duration<double>(Clock::now() - tll0).count();
+
+    for (int side = 0; side < 2; ++side) {
+      if (!childOk[side]) continue;
+      auto& child = children[side];
+      child->id = nextId++;
       open.push(child);
       if (child->cost <= bound)
         focal.push(child);

@@ -24,7 +24,7 @@ def build_native(force: bool = False) -> Path:
         if _LIB.exists() and not force and \
                 _LIB.stat().st_mtime >= _SRC.stat().st_mtime:
             return _LIB
-        cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+        cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
                "-march=native", str(_SRC), "-o", str(_LIB)]
         subprocess.run(cmd, check=True, capture_output=True)
         return _LIB
