@@ -181,6 +181,160 @@ def pad_pivots(dinvs):
     return onp.pad(dinvs, [(0, 0), (0, 0), (0, pad), (0, pad)])
 
 
+# ----------------------------------------------------------------------
+# Chunked sweeps for the CROSS-DEVICE pipeline (qp/nullspace_shard,
+# mode="chunk"): the knot axis is sharded into contiguous chunks, the
+# sweeps flow device-to-device via [bs]-carry ppermutes, and each device
+# runs these kernels on ITS local pivot slab — the production streaming
+# path inside shard_map.  Same VPU/DMA design as the full kernel; the
+# boundary state enters/leaves as one row:
+#   fwd:  carry in t_{k0-1} (= Dinv y of the previous chunk's last knot),
+#         emit the T rows (t_k = Dinv_k y_k) of this chunk; carry out is
+#         T[-1].  Chunk 0 feeds zeros (y_0 = b_0 exactly).
+#   bwd:  carry in x_{k0+L} (the next chunk's first solution row), emit
+#         x rows; carry out is x[0].  The knot axis is zero-padded
+#         (pad_knots: Dinv = 0 blocks, b = 0 rows), which makes the
+#         global-last-pivot case uniform: pads propagate exact zeros.
+
+
+def _chunk_fwd_kernel(rho_ref, dinvs_ref, koM_ref, b_ref, tin_ref, T_ref,
+                      buf_ref, sem_ref, eye_ref, *, L: int, bs: int):
+    r = rho_ref[0]
+    ii = jax.lax.broadcasted_iota(jnp.int32, (bs, bs), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (bs, bs), 1)
+    eye_ref[:] = (ii == jj).astype(f32)
+
+    def dma(slot, k):
+        return pltpu.make_async_copy(dinvs_ref.at[r, k],
+                                     buf_ref.at[slot], sem_ref.at[slot])
+
+    def row(ref, k):
+        return ref[pl.ds(k, 1), :]
+
+    dma(0, 0).start()
+
+    def fwd(k, _):
+        @pl.when(k < L - 1)
+        def _():
+            dma((k + 1) % 2, k + 1).start()
+        # t_{k-1} as column: the carry row for k == 0, else T[k-1]
+        t_prev = tin_ref[:] if L == 1 else \
+            jnp.where(k == 0, tin_ref[:], row(T_ref, jnp.maximum(k - 1, 0)))
+        t_col = _mv_rc(t_prev, eye_ref[:])
+        y_row = row(b_ref, k) - _mv_cr(t_col, koM_ref[:])
+        slot = k % 2
+        dma(slot, k).wait()
+        tk_col = _mv_rc(y_row, buf_ref[slot])
+        T_ref[pl.ds(k, 1), :] = _mv_cr(tk_col, eye_ref[:])
+        return 0
+
+    jax.lax.fori_loop(0, L, fwd, 0, unroll=False)
+
+
+def _chunk_bwd_kernel(rho_ref, dinvs_ref, koM_ref, T_in_ref, xin_ref, x_ref,
+                      buf_ref, sem_ref, *, L: int, bs: int):
+    r = rho_ref[0]
+
+    def dma(slot, k):
+        return pltpu.make_async_copy(dinvs_ref.at[r, k],
+                                     buf_ref.at[slot], sem_ref.at[slot])
+
+    def row(ref, k):
+        return ref[pl.ds(k, 1), :]
+
+    dma((L - 1) % 2, L - 1).start()
+
+    def bwd(j, _):
+        k = L - 1 - j
+
+        @pl.when(k > 0)
+        def _():
+            dma((k - 1) % 2, k - 1).start()
+        x_next = xin_ref[:] if L == 1 else \
+            jnp.where(k == L - 1, xin_ref[:],
+                      row(x_ref, jnp.minimum(k + 1, L - 1)))
+        w_col = _mv_rc(x_next, koM_ref[:])
+        slot = k % 2
+        dma(slot, k).wait()
+        x_ref[pl.ds(k, 1), :] = row(T_in_ref, k) - _mv_cr(w_col,
+                                                          buf_ref[slot])
+        return 0
+
+    jax.lax.fori_loop(0, L, bwd, 0, unroll=False)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def thomas_chunk_fwd(dinvs: jnp.ndarray, koM: jnp.ndarray, b: jnp.ndarray,
+                     t_in: jnp.ndarray, rho_idx: jnp.ndarray,
+                     interpret: bool = False) -> jnp.ndarray:
+    """Forward sweep over ONE knot chunk: T rows [L, bs] (t_k = Dinv_k y_k);
+    the carry out for the next chunk is T[-1].  Operands must already be
+    lane-padded (dinvs [R, L, bsp, bsp] via pad_pivots; koM/b/t_in to
+    bsp)."""
+    R, L, bs, _ = dinvs.shape
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),       # dinvs (HBM)
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # koM
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # b
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # t_in
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, bs, bs), dinvs.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((bs, bs), f32),               # identity
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_chunk_fwd_kernel, L=L, bs=bs),
+        out_shape=jax.ShapeDtypeStruct((L, bs), f32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(jnp.asarray(rho_idx, jnp.int32).reshape(1), dinvs, koM, b,
+      t_in.reshape(1, bs))
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def thomas_chunk_bwd(dinvs: jnp.ndarray, koM: jnp.ndarray, T: jnp.ndarray,
+                     x_in: jnp.ndarray, rho_idx: jnp.ndarray,
+                     interpret: bool = False) -> jnp.ndarray:
+    """Backward sweep over ONE knot chunk: x rows [L, bs] from the fwd
+    sweep's T rows and the next chunk's first solution row x_in; the
+    carry out for the previous chunk is x[0]."""
+    R, L, bs, _ = dinvs.shape
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),       # dinvs (HBM)
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # koM
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # T
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # x_in
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, bs, bs), dinvs.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_chunk_bwd_kernel, L=L, bs=bs),
+        out_shape=jax.ShapeDtypeStruct((L, bs), f32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(jnp.asarray(rho_idx, jnp.int32).reshape(1), dinvs, koM, T,
+      x_in.reshape(1, bs))
+
+
 def _call(dinvs, koM, b, rho_idx, interpret):
     R, Mi, bs, _ = dinvs.shape
     grid_spec = pltpu.PrefetchScalarGridSpec(

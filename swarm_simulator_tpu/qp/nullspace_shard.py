@@ -3,31 +3,46 @@
 Round-2 gap (VERDICT): the production joint solve ran single-device —
 multi-chip meant scenario replication.  This module partitions the ONE
 banded KKT solve across a device mesh axis, so the pivot inventory
-(the memory wall: ~232 MB at 64 agents, ~3.8 GB at 256 in the 5-rung
+(the memory wall: ~232 MB at 64 agents, ~7.5 GB at 256 in the 5-rung
 recipe) and the O(N^2 M) pair-constraint work (the FLOPs wall at 256
 agents) are both sharded, with XLA collectives over ICI carrying the
 coupling — the TPU-native generalization of the reference's
 sequential-batch dummy exchange (rbp_planner.hpp:140-204) to the JOINT
 all-pair QP.
 
-Decomposition (per mesh axis of n devices):
-  * ``op.Dinvs [R, Mi, bs, bs]`` — sharded along the block-ROW axis
-    (dim 2): each device holds bs/n rows of every pivot inverse.  The
-    block-tridiagonal Thomas sweeps become: local [bs/n, bs] @ [bs]
-    matvec -> ``all_gather`` (tiled) of the [bs/n] chunks per knot.
-    The recurrence over knots stays sequential (it is in the XLA scan
-    path too); what the mesh buys is pivot MEMORY and matvec FLOPs.
-  * pair leaves (``pair_n/pair_rhs/pair_mask/...``, plus the pair
-    halves of the ADMM z/y state) — sharded along P (dim 0, padded to
-    a multiple of n with inactive rows).  A^T y needs one ``psum``
-    over the pair shards per apply; A x is row-local.
-  * everything else (w, z.box, y.box, x_pin, N, g, Qseg, bounds) is
-    replicated — the [B, 3, D] state is sub-MB even at 256 agents.
+Two decompositions of the Thomas sweeps (per mesh axis of n devices):
 
-Collective budget per ADMM iteration: 2(Mi-1)+2 all_gathers of bs/n
-floats (Thomas fwd+bwd) + 2 psums of [B, 3, D] (rhs build + none in
-the hot path; residual checks add 2 more per check_every chunk) —
-latency-bound small messages on ICI, while HBM per device drops by n.
+``mode="chunk"`` (default, round 4) — the KNOT axis is sharded into n
+contiguous chunks (``op.Dinvs [R, Mi_p, bs, bs]`` split on dim 1,
+zero-block padded to a multiple of n).  The sweeps flow
+device-to-device: each device runs its local chunk — THROUGH THE
+PRODUCTION STREAMING THOMAS KERNEL (ops/pallas_thomas chunk kernels)
+when the phase requests ``thomas_kernel`` on TPU, else the same XLA
+scan as the single-device path — then hands one [bs] boundary row to
+its neighbor via ``ppermute``.  Collectives per KKT apply: n fwd + n
+bwd ppermutes of [bs] floats + ONE tiled all_gather of the [Mi_p/n,
+bs] solution chunks — CONSTANT in M (the block-row mode pays
+2(Mi-1) per-knot gathers).  The chain itself stays sequential (that
+is the algorithm's critical path; cyclic reduction was measured-
+rejected, see ARCHITECTURE.md), so wall-clock tracks the single-chip
+kernel speed while per-device pivot HBM drops by n and the pair-axis
+MXU work divides.  Works for ANY bs (no divisibility constraint).
+
+``mode="blockrow"`` (round 3, kept) — each device holds bs/n ROWS of
+every pivot inverse; every knot's matvec is reassembled with a tiled
+all_gather.  2(Mi-1)+2 collectives per iteration of bs/n floats: on
+real ICI (~us latency) this divides the dominant HBM pivot stream n
+ways and can beat the chunk mode at large bs; on the virtual CPU mesh
+the per-knot rendezvous dominates (measured inverting 2x at n=8,
+benchmarks/shard_scale_cpu.json) — which is why it is no longer the
+default.  Requires bs % n == 0 and supports the plain XLA scan only.
+
+Both modes shard the pair leaves (``pair_n/pair_rhs/...`` and the pair
+halves of the ADMM z/y state) along P (dim 0, padded to a multiple of
+n with inactive rows): A^T y needs one ``psum`` per apply; A x is
+row-local.  Everything else (w, z.box, y.box, x_pin, N, g, Qseg,
+bounds) is replicated — the [B, 3, D] state is sub-MB even at 256
+agents.
 
 Numerics: identical algorithm to nullspace._iterate_ns (same rung
 ladder, same phased schedule); sums are re-associated by psum /
@@ -77,25 +92,53 @@ def pad_pairs(data: QPData, mult: int) -> QPData:
         pair_rsum=padi(data.pair_rsum, 0.0))
 
 
-def _specs(data: QPData, op: NSOp, axis: str):
+def pad_knots(op: NSOp, mult: int) -> NSOp:
+    """Zero-block pad the pivot inventory's KNOT axis to a multiple of
+    ``mult`` (chunk mode).  Zero pivot blocks + zero rhs rows propagate
+    exact zeros through both sweeps, so the padded chain solves the
+    original system with x = 0 on the pad knots — this also makes the
+    last-pivot step uniform (the real last knot's backward correction
+    multiplies the pad's x = 0).  Host numpy or jax arrays; idempotent
+    when the knot axis already divides."""
+    Mi = op.Dinvs.shape[1]
+    Mp = ((Mi + mult - 1) // mult) * mult
+    if Mp == Mi:
+        return op
+    if isinstance(op.Dinvs, jax.Array):
+        R, _, b1, b2 = op.Dinvs.shape
+        d = jnp.zeros((R, Mp, b1, b2), op.Dinvs.dtype)
+        d = d.at[:, :Mi].set(op.Dinvs)
+    else:
+        d = np.zeros((op.Dinvs.shape[0], Mp) + op.Dinvs.shape[2:],
+                     op.Dinvs.dtype)
+        d[:, :Mi] = op.Dinvs
+    return op._replace(Dinvs=d)
+
+
+def _specs(data: QPData, op: NSOp, axis: str, mode: str = "chunk"):
     """(data_specs, op_specs) PartitionSpec pytrees: pair leaves over
-    ``axis`` (dim 0), pivot inventory over its block-row dim, the rest
-    replicated."""
+    ``axis`` (dim 0), pivot inventory over its knot axis (chunk mode)
+    or block-row dim (blockrow mode), the rest replicated."""
     dspec = jax.tree.map(lambda _: P(), data)
     dspec = dataclasses.replace(
         dspec, pair_bi=P(axis), pair_bj=P(axis), pair_n=P(axis),
         pair_rhs=P(axis), pair_mask=P(axis), pair_qi=P(axis),
         pair_qj=P(axis), pair_rsum=P(axis))
     ospec = jax.tree.map(lambda _: P(), op)
-    ospec = ospec._replace(Dinvs=P(None, None, axis))
+    if mode == "chunk":
+        ospec = ospec._replace(Dinvs=P(None, axis))
+    else:
+        ospec = ospec._replace(Dinvs=P(None, None, axis))
     return dspec, ospec
 
 
 def _iterate_ns_sharded(data: QPData, op: NSOp, s: NSSettings, axis: str,
-                        init=None):
+                        n: int = 1, mode: str = "blockrow",
+                        interpret: bool = False, init=None):
     """shard_map body: one phase of the knot-state ADMM with LOCAL pair
-    shards and block-row-sharded pivots.  Mirrors nullspace._iterate_ns
-    (no AA / kkt_refine / fused paths — asserted by the entry)."""
+    shards and sharded pivots (knot-chunk pipeline or block-row).
+    Mirrors nullspace._iterate_ns (no AA / kkt_refine / fused paths —
+    asserted by the entry)."""
     B, K3, D = data.lb.shape
     dt_ = data.lb.dtype
     M = op.F0.shape[0]
@@ -134,7 +177,15 @@ def _iterate_ns_sharded(data: QPData, op: NSOp, s: NSSettings, axis: str,
         part = jnp.einsum("pb,pkd->bkd", pop.S, contrib)
         return y.box + jax.lax.psum(part, axis)
 
-    def kinv_apply(rho_idx, rhs):
+    def koT(Ho_k, v):
+        return jnp.einsum("ai,xa->xi", Ho_k,
+                          v.reshape(B3, phi)).reshape(v.shape)
+
+    def ko(Ho_k, v):
+        return jnp.einsum("ab,xb->xa", Ho_k,
+                          v.reshape(B3, phi)).reshape(v.shape)
+
+    def kinv_apply_blockrow(rho_idx, rhs):
         # block-tridiagonal Thomas over knots with block-ROW-sharded
         # pivots: each device computes its bs/n rows of Dinv @ v, one
         # tiled all_gather per knot reassembles the full block vector
@@ -142,14 +193,6 @@ def _iterate_ns_sharded(data: QPData, op: NSOp, s: NSSettings, axis: str,
         Ho = op.Kos                            # [Mi-1, phi, phi] repl.
         b = rhs.reshape(B, K3, Mi, phi).transpose(2, 0, 1, 3)
         b = b.reshape(Mi, bs)
-
-        def koT(Ho_k, v):
-            return jnp.einsum("ai,xa->xi", Ho_k,
-                              v.reshape(B3, phi)).reshape(bs)
-
-        def ko(Ho_k, v):
-            return jnp.einsum("ab,xb->xa", Ho_k,
-                              v.reshape(B3, phi)).reshape(bs)
 
         def gather(v_loc):
             return jax.lax.all_gather(v_loc, axis, tiled=True)
@@ -174,6 +217,123 @@ def _iterate_ns_sharded(data: QPData, op: NSOp, s: NSSettings, axis: str,
         x = jnp.concatenate([xs, x_last[None]], axis=0)
         x = x.reshape(Mi, B, K3, phi).transpose(1, 2, 0, 3)
         return x.reshape(rhs.shape)
+
+    def kinv_apply_chunk(rho_idx, rhs):
+        # knot-chunk pipeline: each device solves its contiguous chunk
+        # of the chain (production Thomas kernel on TPU, the XLA scan
+        # otherwise) and hands one [bs] boundary row to its neighbor —
+        # n fwd + n bwd ppermutes + ONE all_gather per apply, constant
+        # in M (see module docstring)
+        Dloc = op.Dinvs[rho_idx]               # [L, bsp, bsp] local
+        L = Dloc.shape[0]
+        bsp = Dloc.shape[-1]
+        Mp = L * n
+        kernel = bool(s.thomas_kernel)
+        # both paths run at the operator's (possibly lane-padded) width:
+        # zero pivot rows/cols propagate exact zeros, and the Kronecker
+        # couplings act on the true bs prefix only
+        bw = bsp
+
+        def koT_w(Ho_k, v):
+            if bw == bs:
+                return koT(Ho_k, v)
+            return jnp.zeros(bw, v.dtype).at[:bs].set(koT(Ho_k, v[:bs]))
+
+        def ko_w(Ho_k, v):
+            if bw == bs:
+                return ko(Ho_k, v)
+            return jnp.zeros(bw, v.dtype).at[:bs].set(ko(Ho_k, v[:bs]))
+
+        idx = jax.lax.axis_index(axis)
+        # per-knot incoming/outgoing couplings, zero at the global ends
+        # and on pad knots (op.Kos is [Mi-1, phi, phi], replicated/tiny)
+        zpad = jnp.zeros((Mp - Mi + 1,) + op.Kos.shape[1:], op.Kos.dtype)
+        kin = jnp.concatenate([zpad[:1], op.Kos, zpad[1:]], axis=0)
+        kout = jnp.concatenate([op.Kos, zpad], axis=0)
+        kin_l = jax.lax.dynamic_slice_in_dim(kin, idx * L, L)
+        kout_l = jax.lax.dynamic_slice_in_dim(kout, idx * L, L)
+
+        b = rhs.reshape(B, K3, Mi, phi).transpose(2, 0, 1, 3)
+        b = b.reshape(Mi, bs)
+        b_full = jnp.zeros((Mp, bw), dt_).at[:Mi, :bs].set(b)
+        b_loc = jax.lax.dynamic_slice_in_dim(b_full, idx * L, L)
+
+        if kernel:
+            from ..ops.pallas_thomas import (thomas_chunk_bwd,
+                                             thomas_chunk_fwd)
+            koM = jnp.kron(jnp.eye(B3, dtype=op.Kos.dtype), op.Kos[0])
+            koM = jnp.zeros((bsp, bsp), koM.dtype).at[:bs, :bs].set(koM)
+
+            def chunk_fwd(t_in):
+                T = thomas_chunk_fwd(op.Dinvs, koM, b_loc, t_in, rho_idx,
+                                     interpret=interpret)
+                return T[-1], T
+
+            def chunk_bwd(x_in, T):
+                x = thomas_chunk_bwd(op.Dinvs, koM, T, x_in, rho_idx,
+                                     interpret=interpret)
+                return x[0], x
+        else:
+            def chunk_fwd(t_in):
+                # y-form scan (single-device make_kinv_apply math): step
+                # k uses Dinv_{k-1}; the chunk's first step consumes the
+                # carried t = Dinv y of the neighbor's last knot
+                y0 = b_loc[0] - koT_w(kin_l[0], t_in)
+
+                def f(y_prev, inp):
+                    b_k, kin_k, Dinv_prev = inp
+                    y_k = b_k - koT_w(kin_k, Dinv_prev @ y_prev)
+                    return y_k, y_k
+
+                _, ys = jax.lax.scan(
+                    f, y0, (b_loc[1:], kin_l[1:], Dloc[:-1]), unroll=4)
+                ys = jnp.concatenate([y0[None], ys], axis=0)
+                t_out = Dloc[-1] @ ys[-1]
+                return t_out, ys
+
+            def chunk_bwd(x_in, ys):
+                def f(x_next, inp):
+                    y_k, kout_k, Dinv_k = inp
+                    x_k = Dinv_k @ (y_k - ko_w(kout_k, x_next))
+                    return x_k, x_k
+
+                _, xs = jax.lax.scan(f, x_in, (ys, kout_l, Dloc),
+                                     reverse=True, unroll=4)
+                return xs[0], xs
+
+        fwd_perm = [(d, (d + 1) % n) for d in range(n)]
+        bwd_perm = [(d, (d - 1) % n) for d in range(n)]
+        zrow = jnp.zeros(bw, dt_)
+        zrows = jnp.zeros((L, bw), dt_)
+
+        def fwd_step(step, carry):
+            t_carry, rows = carry
+            t_new, rows_new = jax.lax.cond(
+                step == idx, chunk_fwd, lambda t: (t, rows), t_carry)
+            rows = jnp.where(step == idx, rows_new, rows)
+            t_carry = jax.lax.ppermute(t_new, axis, fwd_perm)
+            return t_carry, rows
+
+        _, rows_loc = jax.lax.fori_loop(0, n, fwd_step, (zrow, zrows))
+
+        def bwd_step(j, carry):
+            step = n - 1 - j
+            x_carry, xs_acc = carry
+            x_new, xs_new = jax.lax.cond(
+                step == idx, lambda x: chunk_bwd(x, rows_loc),
+                lambda x: (x, xs_acc), x_carry)
+            xs_acc = jnp.where(step == idx, xs_new, xs_acc)
+            x_carry = jax.lax.ppermute(x_new, axis, bwd_perm)
+            return x_carry, xs_acc
+
+        _, xs_loc = jax.lax.fori_loop(0, n, bwd_step, (zrow, zrows))
+
+        x = jax.lax.all_gather(xs_loc, axis, tiled=True)  # [Mp, bw]
+        x = x[:Mi, :bs].reshape(Mi, B, K3, phi).transpose(1, 2, 0, 3)
+        return x.reshape(rhs.shape)
+
+    kinv_apply = (kinv_apply_chunk if mode == "chunk"
+                  else kinv_apply_blockrow)
 
     if init is None:
         if s.warm_start == "x0":
@@ -273,25 +433,31 @@ def _iterate_ns_sharded(data: QPData, op: NSOp, s: NSSettings, axis: str,
     return x, info, (w, z, y, rho_idx)
 
 
-def _check_phases(phases):
+def _check_phases(phases, mode: str):
     for p in phases:
-        if p.fused_chunk or p.thomas_kernel or p.kkt_refine or p.aa_depth:
+        if p.fused_chunk or p.kkt_refine or p.aa_depth:
             raise ValueError(
-                "sharded joint solve supports the plain banded path only "
-                "(no fused_chunk / thomas_kernel / kkt_refine / aa_depth)")
+                "sharded joint solve does not support fused_chunk / "
+                "kkt_refine / aa_depth phases (the fused kernel is the "
+                "whole-solve-in-VMEM single-chip path; shard the knot "
+                "chunks through thomas_kernel phases instead)")
+        if p.thomas_kernel and mode != "chunk":
+            raise ValueError("thomas_kernel phases shard in mode='chunk' "
+                             "only (blockrow splits inside the matvec)")
         if p.kkt_mode != "banded":
             raise ValueError("sharded joint solve requires kkt_mode="
-                             "'banded' (block-row pivot sharding)")
+                             "'banded' (knot-chunk / block-row sharding)")
 
 
-#: jitted solvers keyed on (mesh, axis, phases): rebuilding the
-#: shard_map closure per call would defeat the jit cache — every solve
-#: would re-trace the 3-phase while-loop program
+#: jitted solvers keyed on (mesh, axis, phases, mode, interpret):
+#: rebuilding the shard_map closure per call would defeat the jit cache
+#: — every solve would re-trace the 3-phase while-loop program
 _JIT_CACHE: dict = {}
 
 
-def _jitted(mesh, axis: str, phases, dspec, ospec):
-    key = (mesh, axis, phases)
+def _jitted(mesh, axis: str, phases, dspec, ospec, mode: str,
+            interpret: bool):
+    key = (mesh, axis, phases, mode, interpret)
     fn = _JIT_CACHE.get(key)
     if fn is not None:
         return fn
@@ -301,6 +467,8 @@ def _jitted(mesh, axis: str, phases, dspec, ospec):
     except ImportError:          # older JAX
         from jax.experimental.shard_map import shard_map
 
+    n = mesh.shape[axis]
+
     def body(d, o):
         with jax.default_matmul_precision("highest"):
             state = None
@@ -308,7 +476,8 @@ def _jitted(mesh, axis: str, phases, dspec, ospec):
             iters_total = 0
             for s in phases:
                 x, info, state = _iterate_ns_sharded(
-                    d, o, s, axis, init=state)
+                    d, o, s, axis, n=n, mode=mode, interpret=interpret,
+                    init=state)
                 iters_total = iters_total + info.iters
             # TOTAL iterations across phases (mirrors solve_ns_phases)
             info = info._replace(iters=iters_total)
@@ -325,14 +494,18 @@ def _jitted(mesh, axis: str, phases, dspec, ospec):
     return fn
 
 
-def place(data: QPData, op: NSOp, mesh, axis: str = "kkt"):
-    """Pad the pair axis and device_put (data, op) onto the mesh ONCE —
-    callers that solve repeatedly (replans, timing reps) should place
-    once and pass the placed trees to solve_ns_phases_sharded, or the
-    multi-GB pivot inventory re-uploads every call."""
+def place(data: QPData, op: NSOp, mesh, axis: str = "kkt",
+          mode: str = "chunk"):
+    """Pad the pair axis (and, chunk mode, the knot axis) and device_put
+    (data, op) onto the mesh ONCE — callers that solve repeatedly
+    (replans, timing reps) should place once and pass the placed trees
+    to solve_ns_phases_sharded, or the multi-GB pivot inventory
+    re-uploads every call."""
     n = mesh.shape[axis]
     data = pad_pairs(data, n)
-    dspec, ospec = _specs(data, op, axis)
+    if mode == "chunk":
+        op = pad_knots(op, n)
+    dspec, ospec = _specs(data, op, axis, mode)
 
     def put(leaf, spec):
         sh = NamedSharding(mesh, spec)
@@ -345,25 +518,48 @@ def place(data: QPData, op: NSOp, mesh, axis: str = "kkt"):
 
 
 def solve_ns_phases_sharded(data: QPData, phases, op: NSOp, mesh,
-                            axis: str = "kkt"):
+                            axis: str = "kkt", mode: str = "chunk",
+                            interpret: bool = False):
     """Run the phased knot-state ADMM with ONE problem partitioned over
-    ``mesh[axis]``: pivot inventory block-row-sharded, pair constraints
-    P-sharded, coupling carried by psum / all_gather collectives.
+    ``mesh[axis]``: pivot inventory knot-chunk-sharded (mode="chunk",
+    default — runs the production streaming Thomas kernel per device
+    when the phases request it) or block-row-sharded (mode="blockrow"),
+    pair constraints P-sharded, coupling carried by ppermute / psum /
+    all_gather collectives.
 
     data/op: HOST leaves (numpy) as produced by assemble + prepare_ns_np
-    (flat banded layout), or trees already placed via ``place`` (these
-    skip padding/transfer).  Returns (x [B, 3, D], SolveInfo),
-    replicated.  The jitted program is cached per (mesh, axis, phases).
+    (flat banded layout; prepare with thomas_kernel=True for the kernel
+    path's lane-padded pivots), or trees already placed via ``place``
+    (these skip padding/transfer).  ``interpret`` runs the Pallas chunk
+    kernels in interpret mode (CPU tests only — orders of magnitude
+    slower).  Returns (x [B, 3, D], SolveInfo), replicated.  The jitted
+    program is cached per (mesh, axis, phases, mode).
     """
-    _check_phases(phases)
+    _check_phases(phases, mode)
+    if mode not in ("chunk", "blockrow"):
+        raise ValueError(f"unknown shard mode {mode!r}")
     n = mesh.shape[axis]
-    bs = int(op.Dinvs.shape[-1])
-    if bs % n != 0:
-        raise ValueError(f"pivot block size {bs} must divide over "
-                         f"{n} devices (pad agents or change the mesh)")
+    bsp = int(op.Dinvs.shape[-1])
+    bs_true = (int(np.prod(np.asarray(data.lb).shape[:2]))
+               * int(op.F0.shape[1]))
+    if mode == "blockrow" and bsp != bs_true:
+        raise ValueError(
+            "mode='blockrow' needs an UNPADDED operator (prepared with "
+            f"thomas_kernel=False); got Dinvs[..., {bsp}] vs bs={bs_true}"
+            " — use mode='chunk'")
+    if mode == "blockrow" and bsp % n != 0:
+        raise ValueError(f"pivot block size {bsp} must divide over "
+                         f"{n} devices (pad agents, change the mesh, or "
+                         "use mode='chunk')")
     if op.Dinvs.ndim != 4:
         raise ValueError("op must be prepared in the FLAT banded layout "
-                         "(fused_chunk/thomas_kernel preps cannot shard)")
-    d_dev, o_dev = place(data, op, mesh, axis)
-    dspec, ospec = _specs(d_dev, o_dev, axis)
-    return _jitted(mesh, axis, tuple(phases), dspec, ospec)(d_dev, o_dev)
+                         "(fused_chunk grouped preps cannot shard)")
+    if any(p.thomas_kernel for p in phases) and bsp % 128 != 0:
+        raise ValueError(
+            "thomas_kernel phases need an operator prepared with "
+            "NSSettings.thomas_kernel=True (lane-padded pivots); got "
+            f"Dinvs[..., {bsp}]")
+    d_dev, o_dev = place(data, op, mesh, axis, mode)
+    dspec, ospec = _specs(d_dev, o_dev, axis, mode)
+    return _jitted(mesh, axis, tuple(phases), dspec, ospec, mode,
+                   interpret)(d_dev, o_dev)

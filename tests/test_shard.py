@@ -1,8 +1,9 @@
 """Cross-device decomposition of ONE joint banded solve
-(qp/nullspace_shard.py): the round-3 answer to SURVEY §5's
-communication row — pivot inventory block-row-sharded, pair
-constraints P-sharded, psum/all_gather coupling — validated on the
-8-virtual-CPU-device mesh against the single-device path."""
+(qp/nullspace_shard.py): SURVEY §5's communication row — pivot
+inventory knot-chunk-sharded (round 4, ppermute pipeline running the
+production Thomas kernels per device) or block-row-sharded (round 3),
+pair constraints P-sharded — validated on the 8-virtual-CPU-device
+mesh against the single-device path."""
 import dataclasses
 
 import jax
@@ -29,24 +30,26 @@ def _f32(data):
         if np.asarray(a).dtype == np.float64 else np.asarray(a), data)
 
 
-def _phases(max_iters=(100, 100)):
+def _phases(max_iters=(100, 100), **kw):
     # adapt_threshold=1e9 pins the rho rung: the sharded path's psum /
     # all_gather re-associate the f32 reductions, and a residual ratio
     # landing exactly on an adaptation boundary could flip the rung on
     # one path only — the exact-equality comparison must not depend on
     # that coin toss (zero tolerances already force full budgets)
-    base = nullspace.NSSettings(kkt_mode="banded", check_every=50,
+    kw.setdefault("check_every", 50)
+    base = nullspace.NSSettings(kkt_mode="banded",
                                 eps_abs=0.0, eps_rel=0.0, eps_dual_abs=0.0,
                                 rho_min=1e-4, rho_max=1e-1, n_rungs=4,
-                                adapt_threshold=1e9)
+                                adapt_threshold=1e9, **kw)
     return tuple(dataclasses.replace(base, max_iter=mi) for mi in max_iters)
 
 
-def test_sharded_matches_single_device():
+@pytest.mark.parametrize("mode", ["chunk", "blockrow"])
+def test_sharded_matches_single_device(mode):
     """8-way sharded phased solve == the single-device XLA scan path on
     the same prepared operator, to f32 reduction tolerance (psum /
-    all_gather re-associate the pair and matvec sums).  Zero tolerances
-    pin identical iteration counts on both paths."""
+    all_gather / ppermute re-associate the pair and matvec sums).  Zero
+    tolerances pin identical iteration counts on both paths."""
     data, _ = _data(n_agents=8, M=8)
     data = _f32(data)
     phases = _phases()
@@ -58,12 +61,59 @@ def test_sharded_matches_single_device():
 
     mesh = _mesh(8)
     x_sh, info_sh = nullspace_shard.solve_ns_phases_sharded(
-        data, phases, op, mesh)
+        data, phases, op, mesh, mode=mode)
     x_sh = np.asarray(x_sh, np.float64)
 
     assert int(info_sh.iters) == int(info_ref.iters)
     scale = max(1.0, np.abs(x_ref).max())
     err = np.abs(x_ref - x_sh).max() / scale
+    assert err < 5e-5, err
+
+
+def test_sharded_chunk_uneven_knots():
+    """Mi = 7 over 8 devices: the knot axis zero-pads to 8 (one knot per
+    device); pads must not perturb the solution vs the 1-device chunk
+    run (and vs a 4-device run where L=2)."""
+    data, _ = _data(n_agents=8, M=8)       # Mi = 7
+    data = _f32(data)
+    phases = _phases((50,))
+    op = nullspace.prepare_ns_np(data, phases[0])
+
+    x1, _ = nullspace_shard.solve_ns_phases_sharded(
+        data, phases, op, _mesh(1), mode="chunk")
+    x4, _ = nullspace_shard.solve_ns_phases_sharded(
+        data, phases, op, _mesh(4), mode="chunk")
+    x8, _ = nullspace_shard.solve_ns_phases_sharded(
+        data, phases, op, _mesh(8), mode="chunk")
+    for xo in (x4, x8):
+        err = np.abs(np.asarray(x1, np.float64)
+                     - np.asarray(xo, np.float64)).max()
+        assert err < 5e-5, err
+
+
+def test_sharded_chunk_thomas_kernel_interpret():
+    """The production-kernel sharded path: chunked Pallas Thomas sweeps
+    (interpret mode on CPU) == the chunked XLA scan on the SAME
+    lane-padded operator, same mesh.  Validates the carry math and the
+    zero-pad propagation of the chunk kernels."""
+    data, _ = _data(n_agents=8, M=8)
+    data = _f32(data)
+    ph_scan = _phases((20,), check_every=10)
+    ph_kern = tuple(dataclasses.replace(p, thomas_kernel=True)
+                    for p in ph_scan)
+    op = nullspace.prepare_ns_np(
+        data, dataclasses.replace(ph_kern[0], max_iter=1))
+
+    mesh = _mesh(4)
+    x_scan, info_scan = nullspace_shard.solve_ns_phases_sharded(
+        data, ph_scan, op, mesh, mode="chunk")
+    x_kern, info_kern = nullspace_shard.solve_ns_phases_sharded(
+        data, ph_kern, op, mesh, mode="chunk", interpret=True)
+
+    assert int(info_scan.iters) == int(info_kern.iters)
+    scale = max(1.0, float(np.abs(np.asarray(x_scan)).max()))
+    err = float(np.abs(np.asarray(x_scan, np.float64)
+                       - np.asarray(x_kern, np.float64)).max()) / scale
     assert err < 5e-5, err
 
 
@@ -97,5 +147,15 @@ def test_sharded_rejects_unshardable():
         nullspace_shard.solve_ns_phases_sharded(data, bad, op, mesh)
 
     fused = tuple(dataclasses.replace(p, fused_chunk=True) for p in phases)
-    with pytest.raises(ValueError, match="plain banded"):
+    with pytest.raises(ValueError, match="fused_chunk"):
         nullspace_shard.solve_ns_phases_sharded(data, fused, op, mesh)
+
+    thomas = tuple(dataclasses.replace(p, thomas_kernel=True)
+                   for p in phases)
+    with pytest.raises(ValueError, match="blockrow"):
+        nullspace_shard.solve_ns_phases_sharded(data, thomas, op, mesh,
+                                                mode="blockrow")
+    # kernel phases on an UNPADDED op are rejected upfront
+    with pytest.raises(ValueError, match="lane-padded"):
+        nullspace_shard.solve_ns_phases_sharded(data, thomas, op, mesh,
+                                                mode="chunk")

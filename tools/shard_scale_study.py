@@ -41,6 +41,8 @@ def log(*a):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--full256", action="store_true")
+    ap.add_argument("--mode", default="chunk",
+                    choices=["chunk", "blockrow"])
     ap.add_argument("--out", default="benchmarks/shard_scale_cpu.json")
     args = ap.parse_args()
 
@@ -56,7 +58,8 @@ def main():
     from swarm_simulator_tpu.qp import joint as qjoint
     from swarm_simulator_tpu.qp import nullspace, nullspace_shard
 
-    out = {"devices": len(jax.devices()), "curve64": []}
+    out = {"devices": len(jax.devices()), "mode": args.mode,
+           "curve64": []}
 
     # ---- A: 64-agent curve ------------------------------------------
     plan, mission, param = bench.build_problem(seed=0)
@@ -74,10 +77,11 @@ def main():
         if n > len(jax.devices()):
             break
         mesh = Mesh(np.array(jax.devices()[:n]), ("kkt",))
-        d_dev, o_dev = nullspace_shard.place(data, op, mesh)
+        d_dev, o_dev = nullspace_shard.place(data, op, mesh,
+                                             mode=args.mode)
         t0 = time.perf_counter()
         x, info = nullspace_shard.solve_ns_phases_sharded(
-            d_dev, phases, o_dev, mesh)
+            d_dev, phases, o_dev, mesh, mode=args.mode)
         x = np.asarray(x, np.float64)
         first_s = time.perf_counter() - t0
         times = []
@@ -86,7 +90,7 @@ def main():
                 d_dev, x0=d_dev.x0 + jnp.float32(3e-6 * (rr + 1)))
             t0 = time.perf_counter()
             x2, _ = nullspace_shard.solve_ns_phases_sharded(
-                d2, phases, o_dev, mesh)
+                d2, phases, o_dev, mesh, mode=args.mode)
             np.asarray(x2)
             times.append(time.perf_counter() - t0)
         ctrl = x.transpose(0, 2, 1).reshape(64, plan.M, param.n + 1, 3)
@@ -143,7 +147,7 @@ def main():
         mesh = Mesh(np.array(jax.devices()[:n]), ("kkt",))
         t0 = time.perf_counter()
         x, info = nullspace_shard.solve_ns_phases_sharded(
-            data, ph, op, mesh)
+            data, ph, op, mesh, mode=args.mode)
         x = np.asarray(x, np.float64)
         solve256 = time.perf_counter() - t0
         ctrl = x.transpose(0, 2, 1).reshape(N, plan.M, param.n + 1, 3)
