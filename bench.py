@@ -346,9 +346,11 @@ def main():
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+    from swarm_simulator_tpu.qp import joint as qjoint
     from swarm_simulator_tpu.qp import nullspace
 
     phases = ns_phases()
+    esc_phases = qjoint.escalation_phases(phases)
 
     @jax.jit
     def joint_solve(data, op, jit_val):
@@ -357,15 +359,36 @@ def main():
         x, info = nullspace.solve_ns_phases(d, phases, op=op)
         return x, info
 
+    @jax.jit
+    def joint_solve_esc(data, op):
+        x, info = nullspace.solve_ns_phases(data, esc_phases, op=op)
+        return x, info
+
     def run_cycle(data_dev, op_dev, M, npp, jit_val=0.0):
         x, info = joint_solve(data_dev, op_dev, jnp.float32(jit_val))
         x = np.asarray(x, dtype=np.float64)
         N = x.shape[0]
         return x.transpose(0, 2, 1).reshape(N, M, npp, 3), info
 
+    def run_escalation(data_dev, op_dev, ctrl, M, npp):
+        """Warm polish extension (qp/joint.py ESCALATION_*): x0 <- the
+        solution whose oracle margin exceeded the trigger, re-solve with
+        the polish-heavy schedule."""
+        import dataclasses
+        N = ctrl.shape[0]
+        d = dataclasses.replace(
+            data_dev, x0=jnp.asarray(
+                ctrl.reshape(N, M * npp, 3).transpose(0, 2, 1),
+                jnp.float32))
+        x, info = joint_solve_esc(d, op_dev)
+        x = np.asarray(x, dtype=np.float64)
+        return x.transpose(0, 2, 1).reshape(N, M, npp, 3), info
+
     # ---- gate across seeds (one compiled program; data changes only) ----
     per_seed = {}
     first = {}
+    escalated_seeds = []
+    first_cycle_s = None
     for seed in GATE_SEEDS:
         plan, mission, param = build_problem(seed)
         t_asm0 = time.perf_counter()
@@ -382,8 +405,11 @@ def main():
         log(f"seed {seed}: host-f64 prep+transfer {prep_s:.1f}s")
         t0 = time.perf_counter()
         ctrl, info = run_cycle(data_dev, op_dev, plan.M, param.n + 1)
+        cyc_s = time.perf_counter() - t0
+        if first_cycle_s is None:
+            first_cycle_s = cyc_s          # includes the main compile
         log(f"seed {seed}: cycle (incl. compile on first) "
-            f"{time.perf_counter() - t0:.1f}s iters={int(info.iters)} "
+            f"{cyc_s:.1f}s iters={int(info.iters)} "
             f"rp={float(info.r_prim):.1e}")
         # rotate the best-response oracle batch across seeds so the
         # objective gate covers distinct agents (round-2 VERDICT weak #2)
@@ -396,6 +422,22 @@ def main():
         log(f"seed {seed}: IPM best-response batch {b_idx} "
             f"obj={obj_ref:.4f} ours={obj_b0:.4f} "
             f"({ipm_s:.1f}s/IPM solve f64 CPU)")
+        if obj_b0 > qjoint.ESCALATION_TRIGGER * obj_ref:
+            # margin-triggered warm polish extension (round-4): both
+            # sides of the margin are recomputed — the best-response
+            # optimum depends on the other agents' final trajectories
+            log(f"seed {seed}: margin {obj_b0 / obj_ref:.3f} > "
+                f"{qjoint.ESCALATION_TRIGGER} — escalating "
+                f"({qjoint.ESCALATION_BUDGETS} warm polish)")
+            ctrl, info = run_escalation(data_dev, op_dev, ctrl, plan.M,
+                                        param.n + 1)
+            obj_b0, _ = batch0_objective(ctrl, plan, mission, param,
+                                         b_idx)
+            obj_ref, ipm_s = ipm_best_response_batch0(
+                plan, mission, param, ctrl, b_idx)
+            escalated_seeds.append(seed)
+            log(f"seed {seed}: escalated margin "
+                f"{obj_b0 / obj_ref:.3f} (+{int(info.iters)} iters)")
         ok, m = gate_quality(ctrl, plan, mission, param, obj_ref, obj_b0)
         log(f"seed {seed}: gate={'OK' if ok else 'FAIL'} {m}")
         per_seed[seed] = (ok, m)
@@ -538,7 +580,26 @@ def main():
     log(f"replan (device prep + refine-1): {best:.2f}s/cycle "
         f"gate={'OK' if rok else 'FAIL'} ratio={rm['ratio']:.4f}")
 
+    # cold-start, DEVICE-prep mode (cold_prep="device" in
+    # qp/joint.solve_trajectories): time-to-first-plan = host stages +
+    # on-device f32 prep + refine-1 solve.  The prep+solve program is
+    # the replan program just timed (same shapes, same phases), so
+    # `best` IS its warm cost; first-compile walls are reported
+    # separately (round-3 VERDICT weak #3: both cold modes + compile in
+    # the JSON).
+    cycle_cold_device_s = (stage.get("search", 0.0)
+                           + stage.get("corridor", 0.0)
+                           + first["asm_s"] + best)
+    compile_s = max(0.0, first_cycle_s - dt_cycle)
+    log(f"cold-start: host-prep {cycle_cold_s:.2f}s / device-prep "
+        f"{cycle_cold_device_s:.2f}s; main-program compile "
+        f"{compile_s:.1f}s (persistent cache "
+        f"{'hit' if compile_s < 5.0 else 'miss'})")
+
     m0 = per_seed[GATE_SEEDS[0]][1]
+    worst_margin = max(mm["obj_b0"] / mm["obj_ref"]
+                       for _, mm in per_seed.values()
+                       if "obj_ref" in mm)
     out = {
         "metric": "plan_cycles_per_s_64agents_forest",
         "value": round(cycles_per_s, 3),
@@ -549,9 +610,13 @@ def main():
         "obj_vs_ipm": round(m0["obj_b0"] / m0["obj_ref"], 3),
         "oracle_batches": [oracle_batch(s, first["n_batches"])
                            for s in GATE_SEEDS],
+        "worst_margin": round(worst_margin, 3),
+        "escalated_seeds": escalated_seeds,
         "cycle_warm_s": round(dt_cycle, 3),
         "cycle_warm_pipelined_s": round(dt_pipe, 3),
         "cycle_cold_s": round(cycle_cold_s, 3),
+        "cycle_cold_device_s": round(cycle_cold_device_s, 3),
+        "compile_main_s": round(compile_s, 1),
         "replan_cycle_s": round(best, 3),
         "replan_gate_ok": bool(rok),
         "time_scale_seed0": m0["time_scale"],

@@ -294,7 +294,7 @@ def thomas_chunk_fwd(dinvs: jnp.ndarray, koM: jnp.ndarray, b: jnp.ndarray,
         grid_spec=grid_spec,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=110 * 1024 * 1024,
         ),
     )(jnp.asarray(rho_idx, jnp.int32).reshape(1), dinvs, koM, b,
       t_in.reshape(1, bs))
@@ -329,7 +329,7 @@ def thomas_chunk_bwd(dinvs: jnp.ndarray, koM: jnp.ndarray, T: jnp.ndarray,
         grid_spec=grid_spec,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=110 * 1024 * 1024,
         ),
     )(jnp.asarray(rho_idx, jnp.int32).reshape(1), dinvs, koM, T,
       x_in.reshape(1, bs))
@@ -363,7 +363,9 @@ def _call(dinvs, koM, b, rho_idx, interpret):
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             # generous: double buffer + koM + identity + temporaries;
-            # a tight limit trips "scoped vmem" stack OOM
-            vmem_limit_bytes=100 * 1024 * 1024,
+            # a tight limit trips "scoped vmem" stack OOM (measured
+            # 100.14M needed at 256-agent shapes when the call sits
+            # inside an outer loop body)
+            vmem_limit_bytes=110 * 1024 * 1024,
         ),
     )(jnp.asarray(rho_idx, jnp.int32).reshape(1), dinvs, koM, b)

@@ -39,6 +39,39 @@ from . import assemble, convert, nullspace
 #: shorter schedules fail seeds 4/8 — see bench.py ns_phases)
 PRODUCTION_BUDGETS = (200, 600, 100)
 
+#: margin-triggered escalation (round-4): when a solution's objective
+#: margin vs the IPM best-response oracle exceeds ESCALATION_TRIGGER,
+#: re-solve warm-started from it (x0 <- solution) with these budgets —
+#: a polish extension reusing the replan mechanism, no new solver
+#: features.  Measured on forest seeds 0-9
+#: (benchmarks/margin_escalation_cpu.json): triggering seeds drop
+#: below the bound at ~0.67x the base solve's extra cost.  The bench
+#: gate applies this; production callers without an oracle can trigger
+#: on their own margin estimate.
+ESCALATION_TRIGGER = 1.15
+ESCALATION_BUDGETS = (100, 400, 100)
+
+
+def budgets_for_swarm(qn: int) -> tuple[int, int, int]:
+    """Default phase budgets by swarm size.  <= 64 agents keep the
+    10-seed-tuned PRODUCTION_BUDGETS.  Larger swarms currently keep the
+    same schedule — tools/oracle256_study.py measures what the budget
+    dial (benchmarks/budget256_study_tpu.json) costs against the
+    rotating IPM best-response oracle at 256 agents; a cheaper schedule
+    is only adopted here once that margin is <= the 1.25 gate bound."""
+    del qn
+    return PRODUCTION_BUDGETS
+
+
+def escalation_phases(base_phases) -> tuple:
+    """Warm polish-extension schedule derived from ``base_phases``:
+    same kernel routing, ESCALATION_BUDGETS, warm_start='x0' (callers
+    set data.x0 to the solution being escalated)."""
+    b = dataclasses.replace(base_phases[1], warm_start="x0")
+    return tuple(
+        dataclasses.replace(b, max_iter=mi, rho_lo=lo)
+        for mi, lo in zip(ESCALATION_BUDGETS, (1e-3, None, 1e-2)))
+
 
 def production_settings(max_iter: int = 1500,
                         check_every: int = 50) -> nullspace.NSSettings:
