@@ -201,9 +201,19 @@ def solve_trajectories(plan: PlanResult, mission: Mission, param: Param,
                        replan_budgets: tuple[int, int, int] | None = None,
                        replan_prep: str | None = None,
                        cold_prep: str = "host",
+                       dummy: np.ndarray | None = None,
+                       polish_rounds: int = 0,
                        ) -> PlanResult:
     """Pipeline entry for Param.solver == "nullspace": fills plan.ctrl /
     plan.coef / plan.solver_info like seqbatch.solve_trajectories.
+
+    polish_rounds > 0 runs warm polish extensions after the cold solve:
+    x0 <- the previous solution (only the x0 leaf changes — the KKT
+    inventory stays device-resident, the pair data is unchanged), with
+    the ESCALATION_BUDGETS schedule.  The 256-agent oracle study
+    (benchmarks/oracle256_esc_tpu.json) measures what each round buys
+    against rotating IPM best-response optima — this is how big swarms
+    reach the 64-agent objective-margin standard.
 
     param.iteration > 1 runs the outer corridor iteration: each extra
     round rebuilds the RSFC separating planes from the PREVIOUS round's
@@ -266,7 +276,10 @@ def solve_trajectories(plan: PlanResult, mission: Mission, param: Param,
     if cold_prep == "device" and replan_prep == "stale":
         raise ValueError("replan_prep='stale' needs the host-resident "
                          "round-0 operator (cold_prep='host')")
-    data, dummy = assemble_joint(plan, mission, param)
+    # dummy: the warm start (and x0 seed).  None = the reference's
+    # initTraj midpoint interpolation; callers escalating or streaming
+    # replans pass the PREVIOUS solution's control points here
+    data, dummy = assemble_joint(plan, mission, param, dummy=dummy)
     if cold_prep == "device":
         # low-latency first plan: f32 prep on device + refine-1 phases
         # (quality recovered by PCG against the fresh operator — same
@@ -293,6 +306,24 @@ def solve_trajectories(plan: PlanResult, mission: Mission, param: Param,
         return convert.x_to_ctrl(np.asarray(x, np.float64), M, n), info
 
     ctrl, info = run(data, op_dev, phases)
+
+    polish_s = 0.0
+    if polish_rounds:
+        # warm polish extensions: same problem, same device-resident
+        # operator — only the x0 leaf changes (dummy only seeds x0 in
+        # the joint solve; there are no fixed-agent pair rows to fold)
+        pphases = escalation_phases(phases)
+        data_dev = jax.tree.map(jnp.asarray, data)
+        for _ in range(polish_rounds):
+            t0 = time.perf_counter()
+            x0n = jnp.asarray(
+                ctrl.reshape(N, M * (n + 1), 3).transpose(0, 2, 1),
+                jnp.float32)
+            data_dev = dataclasses.replace(data_dev, x0=x0n)
+            x, info = _solve_phases_jit(data_dev, op_dev, phases=pphases)
+            ctrl = convert.x_to_ctrl(np.asarray(x, np.float64), M, n)
+            polish_s += time.perf_counter() - t0
+
     replan_rounds = 0
 
     if param.iteration > 1:
@@ -364,6 +395,8 @@ def solve_trajectories(plan: PlanResult, mission: Mission, param: Param,
         "mode": "joint-nullspace",
         "solved": np.ones(N, dtype=bool),
         "prep_s": prep_s,
+        "polish_rounds": polish_rounds,
+        "polish_s": polish_s,
         "replan_rounds": replan_rounds,
         "problem_size": str(psize),
     }

@@ -43,6 +43,19 @@ def main():
     ap.add_argument("--agents", type=int, default=256)
     ap.add_argument("--budgets-list",
                     default="200,600,100;100,400,100;100,300,100")
+    ap.add_argument("--escalate", type=int, default=0,
+                    help="after each schedule whose worst margin exceeds "
+                         "1.25, run up to K warm polish-extension rounds "
+                         "(qp/joint ESCALATION_BUDGETS, dummy=solution) "
+                         "and re-measure")
+    ap.add_argument("--polish", type=int, default=0,
+                    help="solve with solve_trajectories(polish_rounds=K) "
+                         "— the efficient in-solver escalation (operator "
+                         "stays device-resident; only x0 updates); "
+                         "margins measured once at the end")
+    ap.add_argument("--rho-min", type=float, default=None,
+                    help="override the rho-ladder floor (default 1e-5); "
+                         "a lower floor deepens the objective polish")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -79,20 +92,8 @@ def main():
 
     schedules = [tuple(int(x) for x in b.split(","))
                  for b in args.budgets_list.split(";")]
-    rows = []
-    for budgets in schedules:
-        import copy
-        plan = copy.deepcopy(plan0)
-        phases = qjoint.production_phases(budgets)
-        t0 = time.perf_counter()
-        plan = qjoint.solve_trajectories(plan, mission, param,
-                                         phases=phases,
-                                         cold_prep="device")
-        t_cycle = time.perf_counter() - t0
-        prep_s = plan.solver_info["prep_s"]
-        ctrl = np.asarray(plan.ctrl)
+    def measure(plan, ctrl, tag):
         ok, m = bench.gate_quality(ctrl, plan, mission, param)
-
         margins = {}
         ipm_s = []
         for b_idx in ORACLE_BATCHES:
@@ -103,25 +104,78 @@ def main():
                 plan, mission, param, ctrl, b_idx)
             ipm_s.append(dt)
             margins[b_idx] = round(obj_b0 / obj_ref, 4)
-            log(f"budgets={budgets} batch {b_idx}: ours={obj_b0:.4f} "
+            log(f"{tag} batch {b_idx}: ours={obj_b0:.4f} "
                 f"ipm={obj_ref:.4f} margin={margins[b_idx]:.3f} "
                 f"({dt:.0f}s IPM)")
+        return ok, m, margins, float(np.mean(ipm_s))
+
+    rows = []
+    for budgets in schedules:
+        import copy
+        import dataclasses as dc
+        plan = copy.deepcopy(plan0)
+        base = qjoint.production_settings()
+        if args.rho_min is not None:
+            base = dc.replace(base, rho_min=args.rho_min)
+        phases = qjoint.production_phases(budgets, base=base)
+        t0 = time.perf_counter()
+        plan = qjoint.solve_trajectories(plan, mission, param,
+                                         phases=phases,
+                                         cold_prep="device",
+                                         polish_rounds=args.polish)
+        t_cycle = time.perf_counter() - t0
+        prep_s = plan.solver_info["prep_s"]
+        ctrl = np.asarray(plan.ctrl)
+        ok, m, margins, ipm_mean = measure(plan, ctrl, f"budgets={budgets}")
         worst = max(margins.values())
         log(f"budgets={budgets}: gate={'OK' if ok else 'FAIL'} "
             f"ratio={m['ratio']:.4f} prep {prep_s:.1f}s solve "
             f"{t_cycle - prep_s:.1f}s worst-margin={worst:.3f}")
-        rows.append(dict(
+        row = dict(
             budgets=list(budgets), gate_ok=bool(ok),
+            polish_rounds=args.polish,
+            polish_s=round(plan.solver_info.get("polish_s", 0.0), 2),
+            rho_min=args.rho_min,
             ratio=round(m["ratio"], 4), box_viol=float(m["box_viol"]),
             prep_s=round(prep_s, 2), solve_s=round(t_cycle - prep_s, 2),
             obj=plan.solver_info["obj"][0],
             iters=plan.solver_info["iters"],
             margins={str(k): v for k, v in margins.items()},
             worst_margin=worst,
-            ipm_s_mean=round(float(np.mean(ipm_s)), 1)))
+            ipm_s_mean=round(ipm_mean, 1))
+
+        esc_rounds = []
+        for r in range(args.escalate):
+            if worst <= 1.25:
+                break
+            esc_ph = qjoint.production_phases(qjoint.ESCALATION_BUDGETS)
+            t0 = time.perf_counter()
+            plan = qjoint.solve_trajectories(plan, mission, param,
+                                             phases=esc_ph,
+                                             cold_prep="device",
+                                             dummy=ctrl)
+            dt = time.perf_counter() - t0
+            ctrl = np.asarray(plan.ctrl)
+            ok, m, margins, ipm_mean = measure(plan, ctrl,
+                                               f"esc{r} of {budgets}")
+            worst = max(margins.values())
+            log(f"esc{r} of {budgets}: gate={'OK' if ok else 'FAIL'} "
+                f"worst-margin={worst:.3f} cycle {dt:.1f}s "
+                f"obj={plan.solver_info['obj'][0]:.3f}")
+            esc_rounds.append(dict(
+                gate_ok=bool(ok), worst_margin=worst,
+                margins={str(k): v for k, v in margins.items()},
+                cycle_s=round(dt, 1), obj=plan.solver_info["obj"][0]))
+        if esc_rounds:
+            row["escalation_rounds"] = esc_rounds
+        rows.append(row)
+
+    def final_margin(r):
+        er = r.get("escalation_rounds")
+        return er[-1]["worst_margin"] if er else r["worst_margin"]
 
     licensed = [r["budgets"] for r in rows
-                if r["gate_ok"] and r["worst_margin"] <= 1.25]
+                if r["gate_ok"] and final_margin(r) <= 1.25]
     licensed = min(licensed, key=lambda b: sum(b)) if licensed else None
     out = dict(agents=N, M=int(plan0.M), pairs=int(len(plan0.pair_idx)),
                oracle_batches=list(ORACLE_BATCHES), schedules=rows,
