@@ -7,8 +7,11 @@ forced CG mode in the sequential path (VERDICT round 1, item 6).
 Quality gate: safety ratio >= 1, machine-exact C²/endpoints (knot-state
 construction), box containment, AND total jerk objective <= the
 sequential Gauss-Seidel solution's (the joint optimum must dominate the
-consensus solution; the 64-agent bench's IPM best-response oracle is
-infeasible here — its dense constraint matrix would be ~18 GB).
+consensus solution).  Round 4 note: the 64-agent IPM best-response
+oracle turned out to be TRACTABLE at 256 agents after all (the reduced
+sparse program is ~27 s/verified solve — the old "dense 18 GB" concern
+predated ipm.solve_ipm_reduced's sparse Cw); tools/oracle256_study.py
+now applies it with rotating batches.
 
 Usage: python tools/large_swarm_joint.py [--agents 256] [--cpu]
 """

@@ -1,0 +1,112 @@
+"""Monte-Carlo at HEADLINE difficulty: 32 seeds of the canonical
+64-agent / 20-obstacle forest (round-3 VERDICT weak #6 — the existing
+monte_carlo64 artifact used easy 8-agent swaps; the 64-agent forest
+class was covered by only 10 single seeds).
+
+Each seed runs the full production pipeline (search -> corridors ->
+host-f64 prep -> fused joint solve) and the FULL safety gate; the
+distributional statement is gates-passed / ratio distribution / solve
+time distribution.  Objective margins at this difficulty are covered
+by the 10-seed escalation study (benchmarks/margin_escalation_cpu.json)
+and the bench's per-seed rotating oracle — re-running 32 IPM solves
+here would add ~15 min of CPU for a dimension already measured.
+
+Writes benchmarks/monte_carlo64_forest_tpu.json.
+Usage: python tools/monte_carlo64_forest.py [--seeds 32] [--cpu]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seeds", type=int, default=32)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--out",
+                    default="benchmarks/monte_carlo64_forest_tpu.json")
+    args = ap.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    sys.path.insert(0, "/root/repo")
+    import bench
+    from swarm_simulator_tpu.qp import nullspace
+
+    phases = bench.ns_phases()
+
+    @jax.jit
+    def solve(d, o):
+        return nullspace.solve_ns_phases(d, phases, op=o)
+
+    rows = []
+    wall0 = time.perf_counter()
+    for seed in range(args.seeds):
+        plan, mission, param = bench.build_problem(seed)
+        if plan.M != 36:
+            # distinct M would compile a fresh program through the
+            # tunnel; report it as its own row rather than paying 4-20
+            # min (M=36 covers every seed seen so far at these knobs)
+            log(f"seed {seed}: M={plan.M} != 36 — skipped (would "
+                f"recompile); counted separately")
+            rows.append(dict(seed=seed, skipped_M=int(plan.M)))
+            continue
+        data, _ = bench.assemble_joint(plan, mission, param)
+        t0 = time.perf_counter()
+        op = nullspace.prepare_ns_np(data, phases[0])
+        prep_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        x, info = solve(jax.tree.map(jnp.asarray, data),
+                        jax.device_put(op))
+        x = np.asarray(x, np.float64)
+        solve_s = time.perf_counter() - t0
+        ctrl = x.transpose(0, 2, 1).reshape(64, plan.M, param.n + 1, 3)
+        ok, m = bench.gate_quality(ctrl, plan, mission, param)
+        log(f"seed {seed}: gate={'OK' if ok else 'FAIL'} "
+            f"ratio={m['ratio']:.4f} prep {prep_s:.1f}s "
+            f"solve {solve_s:.2f}s")
+        rows.append(dict(seed=seed, gate_ok=bool(ok),
+                         ratio=round(m["ratio"], 4),
+                         box_viol=float(m["box_viol"]),
+                         time_scale=float(m["time_scale"]),
+                         prep_s=round(prep_s, 2),
+                         solve_s=round(solve_s, 3),
+                         iters=int(np.asarray(info.iters)),
+                         search_s=round(plan.stage_s["search"], 2),
+                         corridor_s=round(plan.stage_s["corridor"], 2)))
+
+    solved = [r for r in rows if "gate_ok" in r]
+    ratios = [r["ratio"] for r in solved]
+    out = dict(
+        agents=64, obs_num=bench.OBS_NUM, seeds=args.seeds,
+        solved=len(solved), gates_ok=sum(r["gate_ok"] for r in solved),
+        ratio_min=min(ratios) if ratios else None,
+        ratio_median=float(np.median(ratios)) if ratios else None,
+        solve_s_median=float(np.median([r["solve_s"] for r in solved]))
+        if solved else None,
+        wall_s=round(time.perf_counter() - wall0, 1),
+        rows=rows)
+    os.makedirs("benchmarks", exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps({k: v for k, v in out.items() if k != "rows"}))
+
+
+if __name__ == "__main__":
+    main()
