@@ -223,6 +223,13 @@ bool lowLevelSearch(const Env& env, int agent, const St& start,
   auto h = [&](int x, int y, int z) {
     return std::abs(x - goal.x) + std::abs(y - goal.y) + std::abs(z - goal.z);
   };
+
+  // Focal heuristics stay the naive O(#others) scan ON PURPOSE: a
+  // bucketed variant (round 4) measured SLOWER end to end — each
+  // lowLevelSearch call would pay ~18k hash inserts (255 others x 72
+  // timesteps at 256 agents) to prune pair checks that cost ~1-2 ns
+  // each, and the root total regressed 0.29 s -> 0.60 s.  Recorded so
+  // it is not re-attempted.
   auto focalState = [&](const St& s) {
     int c = 0;
     for (auto& [i, p] : others)
