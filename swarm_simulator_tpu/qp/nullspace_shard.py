@@ -137,8 +137,9 @@ def _iterate_ns_sharded(data: QPData, op: NSOp, s: NSSettings, axis: str,
                         interpret: bool = False, init=None):
     """shard_map body: one phase of the knot-state ADMM with LOCAL pair
     shards and sharded pivots (knot-chunk pipeline or block-row).
-    Mirrors nullspace._iterate_ns (no AA / kkt_refine / fused paths —
-    asserted by the entry)."""
+    Mirrors nullspace._iterate_ns incl. kkt_refine PCG (fresh-K applies
+    ride the sharded A/A^T); no AA / fused paths — asserted by the
+    entry."""
     B, K3, D = data.lb.shape
     dt_ = data.lb.dtype
     M = op.F0.shape[0]
@@ -349,6 +350,16 @@ def _iterate_ns_sharded(data: QPData, op: NSOp, s: NSSettings, axis: str,
         z = tmap(jnp.clip, z, l, u)
     rho_idx = jnp.clip(rho_idx, idx_lo, idx_hi)
 
+    def K_fresh(v, rho_s):
+        # matrix-free fresh-operator apply (mirrors nullspace._iterate_ns
+        # K_fresh); the pair coupling inside A^T A rides the sharded
+        # AT_x's psum
+        x_v = jnp.einsum("da,bka->bkd", op.N, v)
+        qx = op.c_s * _apply_Qseg(data.Qseg, x_v)
+        aax = AT_x(A_x(x_v))
+        return sigma * v + jnp.einsum("da,bkd->bka", op.N,
+                                      qx + rho_s * aax)
+
     def admm_step(carry, _):
         w, z, y, rho_idx = carry
         rho_s = op.ladder[rho_idx]
@@ -356,6 +367,26 @@ def _iterate_ns_sharded(data: QPData, op: NSOp, s: NSSettings, axis: str,
         rhs_w = sigma * w - op.g + jnp.einsum(
             "da,bkd->bka", op.N, AT_x(rhs_x))
         w_t = kinv_apply(rho_idx, rhs_w)
+        if s.kkt_refine:
+            # PCG against the fresh operator, preconditioned by the
+            # prepared inventory (nullspace._iterate_ns semantics); the
+            # r/z/p iterates are replicated, so the vdots need no
+            # collectives
+            tiny = jnp.asarray(1e-30, dt_)
+            r_c = rhs_w - K_fresh(w_t, rho_s)
+            z_c = kinv_apply(rho_idx, r_c)
+            p_c = z_c
+            rz = jnp.vdot(r_c, z_c)
+            for _ in range(s.kkt_refine):
+                Kp = K_fresh(p_c, rho_s)
+                a_c = rz / jnp.maximum(jnp.vdot(p_c, Kp), tiny)
+                w_t = w_t + a_c * p_c
+                r_c = r_c - a_c * Kp
+                z_c = kinv_apply(rho_idx, r_c)
+                rz_new = jnp.vdot(r_c, z_c)
+                b_c = rz_new / jnp.maximum(rz, tiny)
+                p_c = z_c + b_c * p_c
+                rz = rz_new
         x_t = _x_of(op, w_t)
         ax_t = A_x(x_t)
         w_new = alpha * w_t + (1 - alpha) * w
@@ -435,10 +466,10 @@ def _iterate_ns_sharded(data: QPData, op: NSOp, s: NSSettings, axis: str,
 
 def _check_phases(phases, mode: str):
     for p in phases:
-        if p.fused_chunk or p.kkt_refine or p.aa_depth:
+        if p.fused_chunk or p.aa_depth:
             raise ValueError(
                 "sharded joint solve does not support fused_chunk / "
-                "kkt_refine / aa_depth phases (the fused kernel is the "
+                "aa_depth phases (the fused kernel is the "
                 "whole-solve-in-VMEM single-chip path; shard the knot "
                 "chunks through thomas_kernel phases instead)")
         if p.thomas_kernel and mode != "chunk":

@@ -117,6 +117,27 @@ def test_sharded_chunk_thomas_kernel_interpret():
     assert err < 5e-5, err
 
 
+def test_sharded_kkt_refine_matches_single_device():
+    """kkt_refine=1 PCG (the production replan mode) sharded over 8
+    devices == the single-device refine path: the fresh-K applies ride
+    the sharded A/A^T psum, the PCG scalars are replicated."""
+    data, _ = _data(n_agents=8, M=8)
+    data = _f32(data)
+    phases = tuple(dataclasses.replace(p, kkt_refine=1)
+                   for p in _phases((50,)))
+    op = nullspace.prepare_ns_np(data, phases[0])
+
+    x_ref, info_ref = nullspace.solve_ns_phases(
+        jax.tree.map(jnp.asarray, data), phases, op=jax.device_put(op))
+    x_sh, info_sh = nullspace_shard.solve_ns_phases_sharded(
+        data, phases, op, _mesh(8), mode="chunk")
+    assert int(info_sh.iters) == int(info_ref.iters)
+    scale = max(1.0, float(np.abs(np.asarray(x_ref)).max()))
+    err = float(np.abs(np.asarray(x_ref, np.float64)
+                       - np.asarray(x_sh, np.float64)).max()) / scale
+    assert err < 5e-5, err
+
+
 def test_sharded_pair_padding_inactive():
     """P=28 pairs at 8 agents pads to 32 over 8 devices; the pad rows
     must never bind (solution identical to the 4-device run where P=28
