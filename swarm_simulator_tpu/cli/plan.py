@@ -77,6 +77,10 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="joint-path round-0 KKT prep: host f64 (max "
                         "polish + fused warm cycles) or on-device f32 "
                         "+ PCG refine (low time-to-first-plan)")
+    p.add_argument("--polish-rounds", type=int, default=0,
+                   help="joint-path warm polish extensions after the "
+                        "cold solve (objective-margin escalation for "
+                        "big swarms; see qp/joint.py)")
     p.add_argument("--replan-prep",
                    choices=["auto", "fresh", "device", "stale"],
                    default="auto",
@@ -143,6 +147,7 @@ def main(argv=None) -> int:
             solver_max_iter=args.max_iter, log=args.log,
             corridor_mode="flat" if args.flat else pp.param.corridor_mode,
             cold_prep=args.cold_prep,
+            polish_rounds=args.polish_rounds,
             replan_prep=(None if args.replan_prep == "auto"
                          else args.replan_prep),
             **over)
@@ -163,6 +168,7 @@ def main(argv=None) -> int:
         corridor_mode="flat" if args.flat else "rbp",
         solver_dtype=args.dtype, solver_max_iter=args.max_iter,
         cold_prep=args.cold_prep,
+        polish_rounds=args.polish_rounds,
         replan_prep=(None if args.replan_prep == "auto"
                      else args.replan_prep),
         log=args.log,

@@ -101,6 +101,11 @@ class Param:
     #              CPU) | "fresh" | "device" | "stale"
     cold_prep: str = "host"
     replan_prep: Optional[str] = None
+    #   polish_rounds: warm polish extensions after the cold solve
+    #   (qp/joint ESCALATION_BUDGETS; x0-only updates on the resident
+    #   operator) — how big swarms reach the 64-agent objective-margin
+    #   standard (benchmarks/oracle256_polish_tpu.json)
+    polish_rounds: int = 0
 
     @property
     def world_min(self) -> np.ndarray:

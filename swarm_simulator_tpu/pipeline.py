@@ -71,6 +71,7 @@ def plan(
     if param.solver == "nullspace":
         from .qp import joint
         joint.solve_trajectories(result, mission, param, phases=ns_phases,
+                                 polish_rounds=param.polish_rounds,
                                  replan_prep=param.replan_prep,
                                  cold_prep=param.cold_prep)
         times.extra["ns_prep"] = result.solver_info["prep_s"]
