@@ -164,3 +164,56 @@ def test_fused_joint_gate_compiled_tpu():
     ctrl = x.transpose(0, 2, 1).reshape(64, plan.M, param.n + 1, 3)
     ok, m = bench.gate_quality(ctrl, plan, mission, param)
     assert ok, m
+
+
+def test_chunk_kernels_compiled_accuracy():
+    """The round-4 chunked Thomas sweeps (ops/pallas_thomas
+    thomas_chunk_fwd/bwd — the cross-device pipeline's per-device
+    kernels) must reproduce the full-solve kernel COMPILED on TPU: a
+    2-chunk split of the knot axis with hand-carried boundaries equals
+    the one-kernel solve.  (Multi-device execution is validated on the
+    virtual CPU mesh — tests/test_shard.py — since this environment has
+    one chip; this pins the Mosaic-compiled chunk kernels themselves.)"""
+    import numpy as np
+
+    import bench
+    from swarm_simulator_tpu.ops.pallas_thomas import (
+        pad_pivots, thomas_chunk_bwd, thomas_chunk_fwd,
+        thomas_solve_pallas)
+    from swarm_simulator_tpu.qp import nullspace
+
+    jnp = jax.numpy
+    plan, mission, param = bench.build_problem(seed=0)
+    data, _ = bench.assemble_joint(plan, mission, param)
+    op = nullspace.prepare_ns_np(data, bench.ns_settings())
+    dev = _tpu_device()
+    dinvs = jax.device_put(jnp.asarray(pad_pivots(np.asarray(op.Dinvs))),
+                           dev)
+    B, K3, phi, M = mission.qn, 3, 3, plan.M
+    Mi, bs = M - 1, B * K3 * phi
+    bsp = dinvs.shape[-1]
+    B3 = B * K3
+    koM_u = jnp.kron(jnp.eye(B3, dtype=op.Kos.dtype),
+                     jnp.asarray(op.Kos[0])).astype(jnp.float32)
+    koM = jnp.zeros((bsp, bsp), jnp.float32).at[:bs, :bs].set(koM_u)
+    rng = np.random.default_rng(3)
+    b = jnp.zeros((Mi, bsp), jnp.float32).at[:, :bs].set(
+        jnp.asarray(rng.standard_normal((Mi, bs)), jnp.float32))
+
+    r = jnp.int32(1)
+    want = np.asarray(thomas_solve_pallas(
+        dinvs, koM_u, koM_u.T, jnp.asarray(b[:, :bs]), r))
+
+    # 2-chunk split with hand-carried boundary rows (what the sharded
+    # pipeline's ppermutes do)
+    L = Mi // 2
+    d0, d1 = dinvs[:, :L], dinvs[:, L:]
+    b0, b1 = b[:L], b[L:]
+    z = jnp.zeros(bsp, jnp.float32)
+    T0 = thomas_chunk_fwd(d0, koM, b0, z, r)
+    T1 = thomas_chunk_fwd(d1, koM, b1, T0[-1], r)
+    x1 = thomas_chunk_bwd(d1, koM, T1, z, r)
+    x0 = thomas_chunk_bwd(d0, koM, T0, x1[0], r)
+    got = np.asarray(jnp.concatenate([x0, x1], axis=0))[:, :bs]
+    err = np.abs(got - want).max() / max(np.abs(want).max(), 1.0)
+    assert err < 2e-3, err
