@@ -13,12 +13,13 @@ jacobi_sweep over the sharded stack.  Each process then verifies the
 physical quality of ITS scenario's result and prints a PASS line the
 parent asserts on.
 
-joint: ONE joint banded solve (qp/nullspace_shard) partitioned over
-the global 8-device mesh SPANNING BOTH PROCESSES — the pivot
-inventory's block rows and the pair constraints live on devices of
-different processes, so the psum/all_gather coupling collectives cross
-the process boundary (DCN in real deployments).  Each process checks
-the sharded result against its own single-device solve.
+joint: ONE joint banded solve (qp/nullspace_shard, default chunk mode)
+partitioned over the global 8-device mesh SPANNING BOTH PROCESSES —
+the pivot inventory's knot chunks and the pair constraints live on
+devices of different processes, so the ppermute carries / pair psum /
+solution all_gather cross the process boundary (DCN in real
+deployments).  Each process checks the sharded result against its own
+single-device solve.
 """
 import os
 import sys
