@@ -43,11 +43,16 @@ def log(*a):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", default="1,2,4,8")
+    ap.add_argument("--cpu", action="store_true",
+                    help="logic smoke only (arm 1 runs the XLA path; "
+                         "arm 2 needs Mosaic and is skipped)")
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--out", default="benchmarks/stack_fused_tpu.json")
     args = ap.parse_args()
 
     import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -111,6 +116,14 @@ def main():
     out["arms"]["fused_interleave"] = arm
 
     # ---- arm 2: thomas, lax.map over stacked problems ----------------
+    if jax.default_backend() == "cpu":
+        log("cpu smoke: skipping the thomas-map arm (Mosaic is TPU-only)")
+        os.makedirs("benchmarks", exist_ok=True)
+        with open(args.out, "w") as f:
+            json.dump(out, f, indent=1)
+        print(json.dumps(out))
+        return
+
     import functools
 
     @functools.partial(jax.jit, static_argnames=())
