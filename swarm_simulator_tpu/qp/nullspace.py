@@ -722,9 +722,20 @@ def _prepare_ns_impl(data: QPData, s: NSSettings) -> NSOp:
             return out.reshape(out.shape[:-4] + (bs, bs))
 
         sigI = s.sigma * jnp.eye(phi, dtype=dt_)
-        base_d = kron_b(eyeB3[None].repeat(Mi, 0), Hd + sigI)
-        rho_d = kron_b(eyeB3[None].repeat(Mi, 0), NtN_k) \
-            + kron_b(C[1:M], WL[1:M]) + kron_b(C[0:M - 1], WR[0:M - 1])
+        # The Kd blocks are built ONE KNOT AT A TIME inside the Thomas
+        # scan below: materializing base_d/rho_d as [Mi, bs, bs] arrays
+        # kept a ~3x-inventory transient alive through the whole rung
+        # ladder, which at 256 agents in the M=80 bucket overflows the
+        # 16 GB HBM (the monte_carlo256 scenario-109 OOM); per-knot
+        # construction caps the transient at a few [bs, bs] blocks.
+        Hd_s = Hd + sigI                                 # [Mi, phi, phi]
+        CL, CR = C[1:M], C[0:M - 1]                      # [Mi, B3, B3]
+        WLk, WRk = WL[1:M], WR[0:M - 1]                  # [Mi, phi, phi]
+
+        def kd_knot(rho, k_in):
+            Hd_k, NtN_kk, CL_k, WL_k, CR_k, WR_k = k_in
+            return (kron_b(eyeB3, Hd_k + rho * NtN_kk)
+                    + rho * (kron_b(CL_k, WL_k) + kron_b(CR_k, WR_k)))
 
         def ko_sandwich(Dinv, Ho_k):
             # (I (x) Ho)^T Dinv (I (x) Ho) via the small blocks
@@ -742,16 +753,17 @@ def _prepare_ns_impl(data: QPData, s: NSSettings) -> NSOp:
             return X @ (I2 - S_ @ X)
 
         def factor(rho):
-            Kd = base_d + rho * rho_d
-
             def step(Dinv_prev, inp):
-                Kd_k, Ho_prev = inp
+                k_in, Ho_prev = inp
+                Kd_k = kd_knot(rho, k_in)
                 S_ = Kd_k - ko_sandwich(Dinv_prev, Ho_prev)
                 Dinv_k = inv_refined(S_)
                 return Dinv_k, Dinv_k
 
-            Dinv0 = inv_refined(Kd[0])
-            _, Ds = jax.lax.scan(step, Dinv0, (Kd[1:], Ho))
+            k0 = (Hd_s[0], NtN_k[0], CL[0], WLk[0], CR[0], WRk[0])
+            Dinv0 = inv_refined(kd_knot(rho, k0))
+            ks = (Hd_s[1:], NtN_k[1:], CL[1:], WLk[1:], CR[1:], WRk[1:])
+            _, Ds = jax.lax.scan(step, Dinv0, (ks, Ho))
             return jnp.concatenate([Dinv0[None], Ds], axis=0)
 
         # sequential over rungs (lax.map, not vmap): the per-rung Kd
@@ -1207,10 +1219,21 @@ def solve_single_ns(data: QPData, s: NSSettings):
 
 
 def solve_ns_phases(data: QPData, phases: tuple[NSSettings, ...],
-                    return_state: bool = False, op: NSOp | None = None):
+                    return_state: bool = False, op: NSOp | None = None,
+                    init=None):
     """Phased rho schedule sharing ONE prepared op (the KKT rung
     inventory comes from phases[0]; later phases fence the adaptive walk
     via rho_lo/rho_hi and carry the full ADMM state across phases).
+
+    init: optional (w, z, y, rho_idx) ADMM state from a previous
+    solve_ns_phases(..., return_state=True) — the STATE-WARM replan
+    path: a corridor refresh keeps every shape ([P] pairs, M knots)
+    and only rotates pair normals / bounds, so the previous cycle's
+    primal AND duals remain a near-feasible starting point (z is
+    re-clipped to the fresh bounds inside _iterate_ns).  Measured at
+    256 agents (benchmarks/replan256_chain_tpu.json): dual restarts
+    were the reason short warm replans sat 2-4x above the rotating
+    best-response oracle.
 
     The production joint-solve recipe (measured on the 64-agent forest):
       1. feasibility-first  (rho_lo fences out the low rungs)
@@ -1224,7 +1247,7 @@ def solve_ns_phases(data: QPData, phases: tuple[NSSettings, ...],
     with jax.default_matmul_precision("highest"):
         if op is None:
             op = prepare_ns(data, phases[0])
-        state = None
+        state = init
         x = info = None
         iters_total = 0
         for s in phases:
