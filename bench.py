@@ -389,6 +389,7 @@ def main():
     first = {}
     escalated_seeds = []
     first_cycle_s = None
+    stacked = []          # gated (data_dev, op_dev) sharing seed-0's M
     for seed in GATE_SEEDS:
         plan, mission, param = build_problem(seed)
         t_asm0 = time.perf_counter()
@@ -447,6 +448,10 @@ def main():
                          iters=int(info.iters), ctrl=ctrl,
                          mission=mission, param=param, asm_s=asm_s,
                          n_batches=n_batches)
+        if plan.M == first["plan"].M:
+            # keep for the aggregate-throughput interleave below
+            # (~232 MB pivot inventory per seed on device)
+            stacked.append((data_dev, op_dev))
         if not ok:
             log(f"seed {seed} FAILED the gate — benchmark aborts "
                 f"(no timing without quality)")
@@ -494,6 +499,29 @@ def main():
         f"{cycles_per_s:.2f} gate-verified 64-agent planning cycles/s "
         f"({1.0 / dt_cycle:.2f} synchronous)")
 
+    # ---- aggregate throughput: round-robin interleave over ALL gated
+    # seed problems (distinct forests, one M bucket, one executable) —
+    # the scenario-stacking dimension of SURVEY §2, re-measured on the
+    # production path per the round-4 VERDICT ask #4.  Every problem in
+    # the rotation passed the full safety+oracle gate above.
+    agg_cycles_per_s = None
+    if len(stacked) >= 2:
+        n_disp = 3 * len(stacked)
+        prev = None
+        t0 = time.perf_counter()
+        for rr in range(n_disp):
+            d_s, o_s = stacked[rr % len(stacked)]
+            h, _ = joint_solve(d_s, o_s, jnp.float32(7.7e-7 * (rr + 1)))
+            if prev is not None:
+                np.asarray(prev)
+            prev = h
+        np.asarray(prev)
+        dt_agg = (time.perf_counter() - t0) / n_disp
+        agg_cycles_per_s = 1.0 / dt_agg
+        log(f"aggregate (interleave over {len(stacked)} gated "
+            f"forests): {dt_agg:.3f}s/cycle -> "
+            f"{agg_cycles_per_s:.2f} cycles/s")
+
     # ---- baseline: CPLEX-class barrier, 16 sequential solves, CPU ----
     base_cycle_s = 16.0 * first["ipm_s"]
     log(f"baseline: f64 interior-point {first['ipm_s']:.1f}s/batch-solve "
@@ -522,10 +550,11 @@ def main():
         path = "xla-scan"
     gbps = bytes_cycle / dt_pipe / 1e9
     # best MEASURED pivot-stream rate: the double-buffered streaming
-    # Thomas kernel at 256-agent shapes (benchmarks/
-    # profile256_kkt_paths_tpu.json; v5e HBM spec ~819).  The earlier
-    # "250 GB/s ceiling" was an XLA-scan artifact of 64-agent shapes.
-    ceiling = 460.0          # GB/s
+    # Thomas kernel at 256-agent shapes sits AT the DMA ceiling for
+    # this access pattern (benchmarks/thomas_bw_tpu.json: production
+    # 760 GB/s, DMA-only bounds 756-771; v5e HBM spec ~819).  The
+    # round-3 "460" was a contaminated timing window.
+    ceiling = 760.0          # GB/s
     log(f"utilization ({path}): {bytes_cycle / 1e9:.1f} GB pivot stream "
         f"per cycle -> {gbps:.0f} GB/s achieved "
         f"({100 * gbps / ceiling:.0f}% of the {ceiling:.0f} GB/s "
@@ -624,6 +653,9 @@ def main():
         "gbps_achieved": round(gbps, 1),
         "pct_of_bw_ceiling": round(100 * gbps / ceiling, 1),
     }
+    if agg_cycles_per_s is not None:
+        out["aggregate_cycles_per_s"] = round(agg_cycles_per_s, 3)
+        out["aggregate_problems"] = len(stacked)
     if os.environ.get("BENCH_DEGRADED"):
         out["degraded"] = os.environ["BENCH_DEGRADED"]
     print(json.dumps(out))
