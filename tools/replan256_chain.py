@@ -39,8 +39,19 @@ import time
 import numpy as np
 
 ARMS = (("state", (50, 200, 50), 0),
-        ("state", (30, 120, 30), 0),
-        ("x0", (50, 200, 50), 0))
+        ("state", (0, 250, 50), 0),
+        ("x0", (50, 200, 50), 0),
+        ("x0", (0, 250, 50), 0))
+
+
+def parse_arms(spec: str):
+    """"state:50,200,50:0;x0:0,250,50:1" -> ARMS tuples."""
+    arms = []
+    for part in spec.split(";"):
+        warm, budgets, refine = part.split(":")
+        arms.append((warm, tuple(int(b) for b in budgets.split(",")),
+                     int(refine)))
+    return tuple(arms)
 
 
 def log(*a):
@@ -53,8 +64,11 @@ def main():
     ap.add_argument("--agents", type=int, default=256)
     ap.add_argument("--rounds", type=int, default=3)
     ap.add_argument("--polish", type=int, default=4)
+    ap.add_argument("--arms", default=None,
+                    help='e.g. "state:50,200,50:0;x0:0,250,50:1"')
     ap.add_argument("--out", default="benchmarks/replan256_chain_tpu.json")
     args = ap.parse_args()
+    arms = parse_arms(args.arms) if args.arms else ARMS
 
     import jax
     if args.cpu:
@@ -151,7 +165,7 @@ def main():
 
     # ---- per-arm replan chains ---------------------------------------
     arm_rows = []
-    for warm, budgets, refine in ARMS:
+    for warm, budgets, refine in arms:
         rph = qjoint.production_phases(budgets, base=thomas[1],
                                        kkt_refine=refine)
         prep_jit = jax.jit(lambda d, ph=rph: nullspace.prepare_ns(d, ph[0]))
