@@ -27,6 +27,13 @@ from ..core.types import Mission, Param, PlanResult
 
 BIG = 1e8  # reference uses 1e7 placeholders (rbp_planner.hpp:480-481)
 
+#: knot-face guard (see the box-bound block in assemble_batch).  MUST
+#: equal the largest NSSettings.tighten any production phase uses
+#: (qp/joint.production_settings: 2e-3) — the guard pre-relaxes thin
+#: knot-row intersections by exactly the tightening the solver will
+#: re-apply, so the net constraint is the true box intersection.
+KNOT_FACE_GUARD = 2e-3
+
 
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
@@ -186,8 +193,34 @@ def assemble_batch(
 
     # box bounds per control point (convex hull property)
     boxes = plan.seg_boxes[batch_agents]  # [B, M, 6]
-    lb = np.broadcast_to(boxes[:, :, None, 0:3], (B, M, n + 1, 3))
-    ub = np.broadcast_to(boxes[:, :, None, 3:6], (B, M, n + 1, 3))
+    lb = np.ascontiguousarray(
+        np.broadcast_to(boxes[:, :, None, 0:3], (B, M, n + 1, 3)))
+    ub = np.ascontiguousarray(
+        np.broadcast_to(boxes[:, :, None, 3:6], (B, M, n + 1, 3)))
+    # knot-face guard: a knot is BOTH the last control point of segment
+    # m-1 and the first of segment m, so its duplicated rows bind to the
+    # INTERSECTION of the two SFC boxes.  Consecutive boxes may share
+    # only a face (zero-width intersection — the grid path runs exactly
+    # along it), which the solver's per-row tightening (NSSettings.
+    # tighten, production 2e-3) then inverts into an INFEASIBLE pair of
+    # rows: ADMM stalls at a least-violation point and the gate fails
+    # on box_viol (64-agent forest seed 17, r_prim pinned at ~7e-3).
+    # CPLEX without tightening would sit exactly on the face
+    # (rbp_planner.hpp:585-600 box rows carry no margin).  Where the
+    # intersection is thinner than 2*guard, relax BOTH duplicated rows
+    # by exactly the guard so the post-tightening constraint recovers
+    # the true intersection; the relaxed interval stays inside the
+    # union of the two obstacle-free boxes (other axes bind to the
+    # intersection), so every admissible point remains in free space.
+    if M > 1:
+        g = KNOT_FACE_GUARD
+        inter_lo = np.maximum(boxes[:, :-1, 0:3], boxes[:, 1:, 0:3])
+        inter_hi = np.minimum(boxes[:, :-1, 3:6], boxes[:, 1:, 3:6])
+        thin = (inter_hi - inter_lo) < 2 * g
+        lb[:, :-1, n] = np.where(thin, inter_lo - g, lb[:, :-1, n])
+        lb[:, 1:, 0] = np.where(thin, inter_lo - g, lb[:, 1:, 0])
+        ub[:, :-1, n] = np.where(thin, inter_hi + g, ub[:, :-1, n])
+        ub[:, 1:, 0] = np.where(thin, inter_hi + g, ub[:, 1:, 0])
     lb = lb.reshape(B, D, 3).transpose(0, 2, 1).copy()  # [B, 3, D]
     ub = ub.reshape(B, D, 3).transpose(0, 2, 1).copy()
 

@@ -149,6 +149,86 @@ def production_phases(budgets: tuple[int, int, int] = PRODUCTION_BUDGETS,
             dataclasses.replace(b, max_iter=budgets[2], rho_lo=1e-2))
 
 
+def rescue_box_batches(plan, mission, param, ctrl, tol: float = 1e-3):
+    """f64 IPM best-response rescue for box-stalled agents.
+
+    SFC boxes can be DEGENERATE (a 1-cell corridor minus the agent
+    clearance collapses to a zero-width slot, e.g. 64-agent forest
+    seed 17 agent 61 segment 13: y in [1.5, 1.5]).  The instance stays
+    FEASIBLE — CPLEX/IPM solve it exactly (rbp_planner.hpp:158) — but
+    first-order ADMM converges sublinearly against a measure-zero face
+    (measured: box residual 8.2e-3 at 900 iters, 4.5e-3 at 4200; a
+    high-rho rescue ladder also stalls).  Production response, the
+    reference's own sequential-batch architecture as a FALLBACK: find
+    agents violating their boxes beyond ``tol``, re-solve ONLY their
+    batches' best-response QPs with the exact f64 interior-point
+    solver (everyone else fixed at the joint solution — identical
+    one-sided pair rows to rbp_planner.hpp:638-684), splice, and let
+    the caller re-gate.  Cost: ~3 s per rescued batch at 64 agents on
+    host CPU; rescued agents leave with IPM-exact boxes AND a
+    per-batch optimal objective.
+
+    Returns (ctrl, rescued_batch_indices)."""
+    from ..parallel import seqbatch
+    from . import ipm
+
+    boxes = np.asarray(plan.seg_boxes)
+    dm = np.asarray(ctrl, np.float64)
+    viol = np.maximum(boxes[:, :, None, :3] - dm,
+                      dm - boxes[:, :, None, 3:]).max(axis=(1, 2, 3))
+    bad = np.where(viol > tol)[0]
+    if bad.size == 0:
+        return dm, []
+    batches, _ = seqbatch.make_batches(mission.qn, param)
+    bad_b = sorted({i for i, b in enumerate(batches)
+                    if np.intersect1d(np.asarray(b), bad).size})
+    out = dm.copy()
+    for bi in bad_b:
+        agents = np.asarray(batches[bi])
+        data_b = assemble.assemble_batch(plan, mission, param, agents,
+                                         out, device=False)
+        data_b = jax.tree.map(
+            lambda v: np.asarray(v, np.float64)
+            if np.asarray(v).dtype in (np.float32, np.float64)
+            else np.asarray(v), data_b)
+        # re-tighten ONLY the knot rows the face guard relaxed
+        # (assemble.KNOT_FACE_GUARD): without this the barrier exploits
+        # the relaxation to sit exactly 2e-3 outside the true segment
+        # box, which the gate measures as a violation.  A 5e-4 interior
+        # is kept (IPM needs positive slack; the residual face
+        # excursion stays under the 1e-3 gate bound).  Do NOT tighten
+        # any other row — a blanket lb+t/ub-t collides with the
+        # equality-pinned endpoints sitting on box faces and the IPM
+        # diverges (mu -> inf, an infeasibility certificate)
+        g = assemble.KNOT_FACE_GUARD
+        npp = param.n + 1
+        Bq, _, Dq = data_b.lb.shape
+        Mq = Dq // npp
+        bx = boxes[agents]
+        ilo = np.maximum(bx[:, :-1, :3], bx[:, 1:, :3])   # [B, M-1, 3]
+        ihi = np.minimum(bx[:, :-1, 3:], bx[:, 1:, 3:])
+        thin = ((ihi - ilo) < 2 * g).transpose(0, 2, 1)   # [B, 3, M-1]
+        iloT = ilo.transpose(0, 2, 1)
+        ihiT = ihi.transpose(0, 2, 1)
+        lbv = data_b.lb.reshape(Bq, 3, Mq, npp).copy()
+        ubv = data_b.ub.reshape(Bq, 3, Mq, npp).copy()
+        lbv[:, :, :-1, param.n] = np.where(thin, iloT - 5e-4,
+                                           lbv[:, :, :-1, param.n])
+        lbv[:, :, 1:, 0] = np.where(thin, iloT - 5e-4,
+                                    lbv[:, :, 1:, 0])
+        ubv[:, :, :-1, param.n] = np.where(thin, ihiT + 5e-4,
+                                           ubv[:, :, :-1, param.n])
+        ubv[:, :, 1:, 0] = np.where(thin, ihiT + 5e-4,
+                                    ubv[:, :, 1:, 0])
+        data_b = dataclasses.replace(data_b,
+                                     lb=lbv.reshape(Bq, 3, Dq),
+                                     ub=ubv.reshape(Bq, 3, Dq))
+        res = ipm.solve_ipm_reduced(data_b)
+        ipm.verify_optimal(data_b, res, tol=1e-5)
+        out[agents] = convert.x_to_ctrl(res.x, plan.M, param.n)
+    return out, bad_b
+
+
 def select_kkt_path(phases, qn: int, M: int, n_pairs: int, phi: int,
                     backend: str | None = None):
     """KKT-apply path auto-selection past the fused VMEM bound: the

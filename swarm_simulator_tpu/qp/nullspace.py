@@ -949,8 +949,18 @@ def _bounds(data: QPData, tighten: float = 0.0) -> tuple[NSConstr, NSConstr]:
     t = jnp.asarray(tighten, data.lb.dtype)
     pair_l = jnp.where(data.pair_rhs > -BIG / 2, data.pair_rhs + t,
                        data.pair_rhs)
-    l = NSConstr(box=data.lb + t, pair=pair_l)
-    u = NSConstr(box=data.ub - t, pair=jnp.full_like(data.pair_rhs, big))
+    # per-row clamp: never tighten a box row beyond its own midpoint.
+    # SFC boxes can be DEGENERATE in one axis (a narrow slot between
+    # obstacles expands to ymin == ymax — 64-agent forest seed 17,
+    # agent 61 segment 13), and a blanket lb+t/ub-t then INVERTS every
+    # control-point row of that segment: the QP turns infeasible by
+    # 2t, ADMM stalls at a least-violation point, and the box gate
+    # fails.  CPLEX applies no tightening to these rows
+    # (rbp_planner.hpp:585-600), so width-0 rows must stay width-0.
+    t_box = jnp.minimum(t, 0.5 * (data.ub - data.lb))
+    l = NSConstr(box=data.lb + t_box, pair=pair_l)
+    u = NSConstr(box=data.ub - t_box,
+                 pair=jnp.full_like(data.pair_rhs, big))
     return l, u
 
 

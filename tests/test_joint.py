@@ -255,3 +255,75 @@ def test_cold_prep_device_collision_free():
     with pytest.raises(ValueError, match="stale"):
         joint.solve_trajectories(plan, mission, param,
                                  cold_prep="device", replan_prep="stale")
+
+
+def test_degenerate_box_guard_and_rescue():
+    """Degenerate SFC boxes (zero-width slot / face-only overlap) must
+    not make the QP infeasible, and the IPM rescue must restore gate-
+    clean boxes.  Mechanism discovered on 64-agent forest seed 17:
+    agent 61 segment 13 expands to y in [1.5, 1.5] (a 1-cell corridor
+    minus the agent clearance), the solver's blanket 2e-3 tightening
+    inverted every row of that segment, and ADMM stalled at box
+    residual ~8e-3 for ANY budget (sublinear against a measure-zero
+    face — a 600-iteration escalation did not fix it, the exact-IPM
+    batch re-solve did)."""
+    import jax
+    import jax.numpy as jnp
+    from __graft_entry__ import _tiny_plan
+
+    from swarm_simulator_tpu.core.types import Param
+    from swarm_simulator_tpu.qp import assemble, joint, nullspace
+
+    plan, mission, dummy = _tiny_plan(n_agents=2, M=4)
+    # agent 0, segment 1: zero-width slot in z at the flight altitude;
+    # segment 2: face-only overlap with segment 1 in z
+    plan.seg_boxes[0, 1, 2] = plan.seg_boxes[0, 1, 5] = 0.5
+    plan.seg_boxes[0, 2, 2] = 0.5
+    param = Param(solver_dtype="float64", time_scale=False)
+
+    data = assemble.assemble_batch(plan, mission, param,
+                                   np.array([0, 1]), dummy,
+                                   device=False)
+    # knot-face guard: duplicated knot rows at the thin faces are
+    # relaxed by exactly KNOT_FACE_GUARD around the true intersection
+    n = param.n
+    lbv = np.asarray(data.lb).reshape(2, 3, plan.M, n + 1)
+    ubv = np.asarray(data.ub).reshape(2, 3, plan.M, n + 1)
+    g = assemble.KNOT_FACE_GUARD
+    assert np.isclose(lbv[0, 2, 1, 0], 0.5 - g)      # knot seg0/seg1
+    assert np.isclose(ubv[0, 2, 1, 0], 0.5 + g)
+    assert np.isclose(lbv[0, 2, 0, n], 0.5 - g)      # duplicated row
+    # interior control points of the slot segment stay width-0
+    assert lbv[0, 2, 1, 2] == ubv[0, 2, 1, 2] == 0.5
+
+    # per-row tighten clamp: no inverted rows after tightening
+    l, u = nullspace._bounds(
+        jax.tree.map(jnp.asarray, data), tighten=2e-3)
+    assert float(jnp.min(u.box - l.box)) >= 0.0
+
+    # the production phases solve it gate-clean (feasible by
+    # construction: the straight z=0.5 line satisfies the slot)
+    phases = joint.production_phases((50, 150, 50), fused=False)
+    x, info = nullspace.solve_ns_phases(
+        jax.tree.map(jnp.asarray, data), phases)
+    ctrl = np.asarray(x, np.float64).transpose(0, 2, 1).reshape(
+        2, plan.M, n + 1, 3)
+    boxes = plan.seg_boxes
+    viol = float(np.maximum(boxes[:, :, None, :3] - ctrl,
+                            ctrl - boxes[:, :, None, 3:]).max())
+    assert viol < 1e-3, viol
+
+    # rescue: perturb the slot segment out of its box and demand the
+    # IPM batch re-solve restore gate-clean boxes without moving the
+    # untouched agent
+    bad = ctrl.copy()
+    bad[0, 1, :, 2] += 0.01
+    out, rescued = joint.rescue_box_batches(plan, mission, param, bad)
+    assert rescued == [0]
+    viol = float(np.maximum(boxes[:, :, None, :3] - out,
+                            out - boxes[:, :, None, 3:]).max())
+    assert viol < 1e-3, viol
+    # both agents share batch 0, so both were re-solved exactly:
+    # endpoints must still pin to the mission
+    assert np.abs(out[:, 0, 0] - mission.start[:, :3]).max() < 1e-6
+    assert np.abs(out[:, -1, -1] - mission.goal[:, :3]).max() < 1e-6

@@ -32,6 +32,7 @@ def log(*a):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--seeds", type=int, default=32)
+    ap.add_argument("--seed0", type=int, default=0)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--out",
                     default="benchmarks/monte_carlo64_forest_tpu.json")
@@ -49,15 +50,22 @@ def main():
     import bench
     from swarm_simulator_tpu.qp import nullspace
 
+    from swarm_simulator_tpu.qp import joint as qjoint
+
     phases = bench.ns_phases()
+    esc_phases = qjoint.escalation_phases(phases)
 
     @jax.jit
     def solve(d, o):
         return nullspace.solve_ns_phases(d, phases, op=o)
 
+    @jax.jit
+    def solve_esc(d, o):
+        return nullspace.solve_ns_phases(d, esc_phases, op=o)
+
     rows = []
     wall0 = time.perf_counter()
-    for seed in range(args.seeds):
+    for seed in range(args.seed0, args.seed0 + args.seeds):
         plan, mission, param = bench.build_problem(seed)
         if plan.M != 36:
             # distinct M would compile a fresh program through the
@@ -78,10 +86,41 @@ def main():
         solve_s = time.perf_counter() - t0
         ctrl = x.transpose(0, 2, 1).reshape(64, plan.M, param.n + 1, 3)
         ok, m = bench.gate_quality(ctrl, plan, mission, param)
+        retried = False
+        if not ok and m["box_viol"] > 1e-3:
+            # box-stall rescue (degenerate SFC slot — seed 17, agent 61
+            # segment 13 has a zero-width box; first-order ADMM
+            # converges sublinearly against the measure-zero face, and
+            # a 600-iteration escalation was measured NOT to fix it):
+            # re-solve the violating agents' batches with the exact f64
+            # IPM, everyone else fixed (qp/joint.rescue_box_batches)
+            retried = True
+            t0 = time.perf_counter()
+            ctrl, rescued_b = qjoint.rescue_box_batches(
+                plan, mission, param, ctrl)
+            solve_s += time.perf_counter() - t0
+            log(f"seed {seed}: rescued batches {rescued_b}")
+            ok, m = bench.gate_quality(ctrl, plan, mission, param)
+        elif not ok:
+            # non-box gate failure: warm polish escalation
+            retried = True
+            t0 = time.perf_counter()
+            x0n = jnp.asarray(
+                ctrl.reshape(64, plan.M * (param.n + 1), 3)
+                .transpose(0, 2, 1), jnp.float32)
+            import dataclasses as dc
+            d_esc = dc.replace(jax.tree.map(jnp.asarray, data), x0=x0n)
+            x, info = solve_esc(d_esc, jax.device_put(op))
+            x = np.asarray(x, np.float64)
+            solve_s += time.perf_counter() - t0
+            ctrl = x.transpose(0, 2, 1).reshape(64, plan.M,
+                                                param.n + 1, 3)
+            ok, m = bench.gate_quality(ctrl, plan, mission, param)
         log(f"seed {seed}: gate={'OK' if ok else 'FAIL'} "
             f"ratio={m['ratio']:.4f} prep {prep_s:.1f}s "
-            f"solve {solve_s:.2f}s")
-        rows.append(dict(seed=seed, gate_ok=bool(ok),
+            f"solve {solve_s:.2f}s"
+            + (" (escalated)" if retried else ""))
+        rows.append(dict(seed=seed, gate_ok=bool(ok), retried=retried,
                          ratio=round(m["ratio"], 4),
                          box_viol=float(m["box_viol"]),
                          time_scale=float(m["time_scale"]),
@@ -96,6 +135,7 @@ def main():
     out = dict(
         agents=64, obs_num=bench.OBS_NUM, seeds=args.seeds,
         solved=len(solved), gates_ok=sum(r["gate_ok"] for r in solved),
+        escalated=sum(r.get("retried", False) for r in solved),
         ratio_min=min(ratios) if ratios else None,
         ratio_median=float(np.median(ratios)) if ratios else None,
         solve_s_median=float(np.median([r["solve_s"] for r in solved]))
