@@ -63,6 +63,13 @@ def budgets_for_swarm(qn: int) -> tuple[int, int, int]:
     return PRODUCTION_BUDGETS
 
 
+#: default per-round replan budgets for big swarms (>= 128 agents) —
+#: measured against the rotating IPM best-response oracle across a
+#: corridor-refresh chain (tools/replan256_chain.py; see the replan
+#: block in solve_trajectories for the numbers)
+REPLAN_BUDGETS_LARGE = (50, 200, 50)
+
+
 def escalation_phases(base_phases) -> tuple:
     """Warm polish-extension schedule derived from ``base_phases``:
     same kernel routing, ESCALATION_BUDGETS, warm_start='x0' (callers
@@ -407,9 +414,20 @@ def solve_trajectories(plan: PlanResult, mission: Mission, param: Param,
     replan_rounds = 0
 
     if param.iteration > 1:
-        # replan phases compile once and are reused across rounds
-        rb = replan_budgets if replan_budgets is not None else \
-            tuple(s.max_iter for s in phases)
+        # replan phases compile once and are reused across rounds.
+        # Big swarms default to the SHORT oracle-measured schedule
+        # (benchmarks/replan256_chain_tpu.json, v5e): (50, 200, 50)
+        # refine-1 rounds are gate-clean at every corridor refresh,
+        # the objective improves monotonically across the chain
+        # (6.92 -> 2.42 over 3 rounds at 256 agents — refreshes beat
+        # the single-corridor optimum), and the rotating best-response
+        # margin contracts 3.2 -> 1.84, at 8.3 s/round vs ~13 s for
+        # full budgets.  A longer per-round budget buys margin, not
+        # safety; state-warm (carrying ADMM duals) measured
+        # indistinguishable from x0-warm under refine-1.
+        rb = (replan_budgets if replan_budgets is not None
+              else REPLAN_BUDGETS_LARGE if mission.qn >= 128
+              else tuple(s.max_iter for s in phases))
         rphases = production_phases(
             rb, base=phases[1],
             kkt_refine=1 if replan_prep in ("stale", "device") else 0)

@@ -24,6 +24,17 @@ solution; device-prep the fresh operator; short re-solve; safety gate
 solution's own margins under the round-1 refreshed corridors — the
 yardstick any replan should beat.
 
+PROBE RESULT (tools/refresh_feas_probe.py, 16 agents): the flown
+solution is EXACTLY feasible under the refreshed (A, l, u) — the
+refresh does not tighten the set — and a bare f32-device-prep solve
+WITHOUT kkt_refine stalls at r_dual ~4e-2 with a ~100x objective
+blow-up ON THE ORIGINAL PROBLEM TOO.  The replan margin failures were
+the known f32-rung-inverse quality wall (ARCHITECTURE.md "host-f64
+operator preparation"), not a refresh property: replan arms MUST use
+kkt_refine >= 1 (the production replan_prep="device" recipe) for their
+margins to mean anything.  refine=1 at 16 agents: margins 30-50x ->
+1.9-2.3 (noise-amplified at obj ~0.01), objective preserved.
+
 Writes benchmarks/replan256_chain_tpu.json.
 Usage: python tools/replan256_chain.py [--cpu --agents 16 --rounds 1]
 """
