@@ -33,6 +33,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--seeds", type=int, default=32)
     ap.add_argument("--seed0", type=int, default=0)
+    ap.add_argument("--allow-recompile", action="store_true",
+                    help="also run off-bucket (M != 36) seeds, paying "
+                         "their one-time compile")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--out",
                     default="benchmarks/monte_carlo64_forest_tpu.json")
@@ -67,7 +70,7 @@ def main():
     wall0 = time.perf_counter()
     for seed in range(args.seed0, args.seed0 + args.seeds):
         plan, mission, param = bench.build_problem(seed)
-        if plan.M != 36:
+        if plan.M != 36 and not args.allow_recompile:
             # distinct M would compile a fresh program through the
             # tunnel; report it as its own row rather than paying 4-20
             # min (M=36 covers every seed seen so far at these knobs)
@@ -121,6 +124,7 @@ def main():
             f"solve {solve_s:.2f}s"
             + (" (escalated)" if retried else ""))
         rows.append(dict(seed=seed, gate_ok=bool(ok), retried=retried,
+                         M=int(plan.M),
                          ratio=round(m["ratio"], 4),
                          box_viol=float(m["box_viol"]),
                          time_scale=float(m["time_scale"]),

@@ -77,6 +77,10 @@ def main():
     ap.add_argument("--polish", type=int, default=4)
     ap.add_argument("--arms", default=None,
                     help='e.g. "state:50,200,50:0;x0:0,250,50:1"')
+    ap.add_argument("--final-polish", action="store_true",
+                    help="after the chain rounds, run one full-budget "
+                         "solve on the final corridors and measure its "
+                         "margins (the cold-standard check)")
     ap.add_argument("--out", default="benchmarks/replan256_chain_tpu.json")
     args = ap.parse_args()
     arms = parse_arms(args.arms) if args.arms else ARMS
@@ -217,6 +221,32 @@ def main():
                 iters=int(np.asarray(info.iters)),
                 margins={str(k): v for k, v in margins.items()},
                 worst_margin=worst))
+        if args.final_polish:
+            # does chain + one full-budget polish reach the cold
+            # standard (1.24-class margin) on the final corridors?
+            op_r = None     # release the replan inventory: two 7.5 GB
+            state = None    # operators exceed HBM at 256 agents
+            data_f, _ = qjoint.assemble_joint(plan, mission, param,
+                                              dummy=ctrl)
+            df_dev = jax.tree.map(jnp.asarray, data_f)
+            t0 = time.perf_counter()
+            op_f = prep_cold(df_dev)
+            xj, info, _ = solve_cold(df_dev, op_f)
+            x = np.asarray(xj, np.float64)
+            cyc = time.perf_counter() - t0
+            ctrl = convert.x_to_ctrl(x, M, n)
+            ok, m, margins, worst = measure(
+                ctrl, f"{warm} final-polish")
+            log(f"{warm} final-polish: {cyc:.1f}s "
+                f"obj={float(np.asarray(info.obj)):.3f}")
+            rounds.append(dict(
+                round="final_polish", cycle_s=round(cyc, 2),
+                gate_ok=bool(ok), ratio=round(m["ratio"], 4),
+                obj=round(float(np.asarray(info.obj)), 4),
+                iters=int(np.asarray(info.iters)),
+                margins={str(k): v for k, v in margins.items()},
+                worst_margin=worst))
+            op_f = None
         arm_rows.append(dict(warm=warm, budgets=list(budgets),
                              kkt_refine=refine, rounds=rounds))
         plan.pair_normals = normals0_backup    # reset for the next arm
