@@ -279,6 +279,12 @@ def ipm_best_response_batch0(plan, mission, param, final_ctrl,
             lambda x: np.asarray(x, np.float64)
             if np.asarray(x).dtype in (np.float32, np.float64)
             else np.asarray(x), data0)
+    # barrier slack on zero-width duplicated knot rows (assembly stores
+    # TRUE bounds since round 5); 5e-4 stays under the 1e-3 gate bound
+    import dataclasses as _dc
+    lb_r, ub_r = assemble.relax_thin_knot_rows(data0.lb, data0.ub,
+                                               param.n)
+    data0 = _dc.replace(data0, lb=lb_r, ub=ub_r)
     t0 = time.perf_counter()
     res = ipm.solve_ipm_reduced(data0)
     dt = time.perf_counter() - t0
@@ -352,17 +358,28 @@ def main():
     phases = ns_phases()
     esc_phases = qjoint.escalation_phases(phases)
 
-    @jax.jit
-    def joint_solve(data, op, jit_val):
-        import dataclasses
-        d = dataclasses.replace(data, x0=data.x0 + jit_val)
-        x, info = nullspace.solve_ns_phases(d, phases, op=op)
-        return x, info
+    # ONE executable for the cold solve AND the escalation extension
+    # (round-5 compile-wall cure): budgets/fences are jit ARGUMENTS,
+    # the while-body is traced once (nullspace.solve_ns_schedule)
+    sched = nullspace.schedule_arrays(phases)
+    esc_sched = nullspace.schedule_arrays(esc_phases)
+    assert sched is not None and esc_sched[0] == sched[0], \
+        "production schedules must share a normalized base"
+    s_base = sched[0]
 
     @jax.jit
+    def joint_solve_sched(data, op, jit_val, it_k, lo_k, hi_k):
+        import dataclasses
+        d = dataclasses.replace(data, x0=data.x0 + jit_val)
+        return nullspace.solve_ns_schedule(d, op, s_base, it_k, lo_k,
+                                           hi_k)
+
+    def joint_solve(data, op, jit_val):
+        return joint_solve_sched(data, op, jit_val, *sched[1:])
+
     def joint_solve_esc(data, op):
-        x, info = nullspace.solve_ns_phases(data, esc_phases, op=op)
-        return x, info
+        return joint_solve_sched(data, op, jnp.float32(0.0),
+                                 *esc_sched[1:])
 
     def run_cycle(data_dev, op_dev, M, npp, jit_val=0.0):
         x, info = joint_solve(data_dev, op_dev, jnp.float32(jit_val))
@@ -423,12 +440,19 @@ def main():
         log(f"seed {seed}: IPM best-response batch {b_idx} "
             f"obj={obj_ref:.4f} ours={obj_b0:.4f} "
             f"({ipm_s:.1f}s/IPM solve f64 CPU)")
-        if obj_b0 > qjoint.ESCALATION_TRIGGER * obj_ref:
+        # BENCH_ESC_TRIGGER overrides the production trigger (1.15) so
+        # the escalation path can be FORCED to fire in a hardware run
+        # (round-4 weak #8: it had only ever triggered on CPU) — the
+        # artifact then carries the warm-escalation compile + cycle
+        # cost and the post-escalation gate measured on the TPU
+        esc_trigger = float(os.environ.get("BENCH_ESC_TRIGGER",
+                                           qjoint.ESCALATION_TRIGGER))
+        if obj_b0 > esc_trigger * obj_ref:
             # margin-triggered warm polish extension (round-4): both
             # sides of the margin are recomputed — the best-response
             # optimum depends on the other agents' final trajectories
             log(f"seed {seed}: margin {obj_b0 / obj_ref:.3f} > "
-                f"{qjoint.ESCALATION_TRIGGER} — escalating "
+                f"{esc_trigger} — escalating "
                 f"({qjoint.ESCALATION_BUDGETS} warm polish)")
             ctrl, info = run_escalation(data_dev, op_dev, ctrl, plan.M,
                                         param.n + 1)
@@ -448,9 +472,13 @@ def main():
                          iters=int(info.iters), ctrl=ctrl,
                          mission=mission, param=param, asm_s=asm_s,
                          n_batches=n_batches)
-        if plan.M == first["plan"].M:
+        if plan.M == first["plan"].M and seed not in escalated_seeds:
             # keep for the aggregate-throughput interleave below
-            # (~232 MB pivot inventory per seed on device)
+            # (~232 MB pivot inventory per seed on device).  Escalated
+            # seeds are EXCLUDED: the rotation re-runs the base solve,
+            # whose output passed the oracle-margin gate only after the
+            # escalation extension — timing it alone would claim gate
+            # quality the base dispatch does not deliver (advisor r4)
             stacked.append((data_dev, op_dev))
         if not ok:
             log(f"seed {seed} FAILED the gate — benchmark aborts "
@@ -484,47 +512,84 @@ def main():
                            jnp.float32(jit_val))
         return x
 
-    preps = 10
-    prev = None
-    t0 = time.perf_counter()
-    for rr in range(preps):
-        h = dispatch_cycle(7.7e-7 * (rr + 1))
-        if prev is not None:
-            np.asarray(prev)
-        prev = h
-    np.asarray(prev)
-    dt_pipe = (time.perf_counter() - t0) / preps
-    cycles_per_s = 1.0 / dt_pipe
-    log(f"cycle: {dt_pipe:.3f}s pipelined (depth-2) -> "
-        f"{cycles_per_s:.2f} gate-verified 64-agent planning cycles/s "
-        f"({1.0 / dt_cycle:.2f} synchronous)")
-
-    # ---- aggregate throughput: round-robin interleave over ALL gated
-    # seed problems (distinct forests, one M bucket, one executable) —
-    # the scenario-stacking dimension of SURVEY §2, re-measured on the
-    # production path per the round-4 VERDICT ask #4.  Every problem in
-    # the rotation passed the full safety+oracle gate above.
-    agg_cycles_per_s = None
-    if len(stacked) >= 2:
-        n_disp = 3 * len(stacked)
+    # DISPERSION GUARD (round-5, VERDICT r4 weak #1): the axon tunnel
+    # shows 5-10x contention windows, and a single 10-rep mean swung
+    # the recorded headline ~15% run-to-run (README 24.6 vs driver
+    # 20.99).  Measure k=4 independent 10-dispatch pipelined windows;
+    # the HEADLINE is the MEDIAN window, value_best is the best, and
+    # the JSON carries the per-window rates + relative spread so a
+    # contaminated run is visible in the artifact itself.
+    preps, k_windows = 10, 4
+    win_rates = []
+    for w in range(k_windows):
         prev = None
         t0 = time.perf_counter()
-        for rr in range(n_disp):
-            d_s, o_s = stacked[rr % len(stacked)]
-            h, _ = joint_solve(d_s, o_s, jnp.float32(7.7e-7 * (rr + 1)))
+        for rr in range(preps):
+            h = dispatch_cycle(7.7e-7 * (w * preps + rr + 1))
             if prev is not None:
                 np.asarray(prev)
             prev = h
         np.asarray(prev)
-        dt_agg = (time.perf_counter() - t0) / n_disp
-        agg_cycles_per_s = 1.0 / dt_agg
+        win_rates.append(preps / (time.perf_counter() - t0))
+    win_rates.sort()
+    cycles_per_s = float(np.median(win_rates))
+    cycles_best = win_rates[-1]
+    dispersion = (win_rates[-1] - win_rates[0]) / cycles_per_s
+    dt_pipe = 1.0 / cycles_per_s
+    log(f"cycle: {dt_pipe:.3f}s pipelined (depth-2, median of "
+        f"{k_windows} windows) -> {cycles_per_s:.2f} gate-verified "
+        f"64-agent planning cycles/s (best {cycles_best:.2f}, spread "
+        f"{100 * dispersion:.0f}%, {1.0 / dt_cycle:.2f} synchronous)")
+    if dispersion > 0.15:
+        log(f"WARNING: window spread {100 * dispersion:.0f}% > 15% — "
+            f"tunnel contention likely; median reported, treat "
+            f"value_best as the uncontended capability")
+
+    # ---- aggregate throughput: round-robin interleave over the gated,
+    # NON-escalated seed problems (distinct forests, one M bucket, one
+    # executable) — the scenario-stacking dimension of SURVEY §2.
+    # Protocol IDENTICAL to tools/stack_study_fused.py fused-interleave
+    # (3 x S depth-2 dispatches per window) so the two artifacts are
+    # directly comparable (round-4 weak #2); median of k windows.
+    agg_cycles_per_s = agg_best = None
+    if len(stacked) >= 2:
+        agg_rates = []
+        for w in range(3):
+            n_disp = 3 * len(stacked)
+            prev = None
+            t0 = time.perf_counter()
+            for rr in range(n_disp):
+                d_s, o_s = stacked[rr % len(stacked)]
+                h, _ = joint_solve(d_s, o_s,
+                                   jnp.float32(7.7e-7 * (rr + 1)))
+                if prev is not None:
+                    np.asarray(prev)
+                prev = h
+            np.asarray(prev)
+            agg_rates.append(n_disp / (time.perf_counter() - t0))
+        agg_rates.sort()
+        agg_cycles_per_s = float(np.median(agg_rates))
+        agg_best = agg_rates[-1]
         log(f"aggregate (interleave over {len(stacked)} gated "
-            f"forests): {dt_agg:.3f}s/cycle -> "
-            f"{agg_cycles_per_s:.2f} cycles/s")
+            f"forests, median of 3 windows): "
+            f"{agg_cycles_per_s:.2f} cycles/s (best {agg_best:.2f})")
 
     # ---- baseline: CPLEX-class barrier, 16 sequential solves, CPU ----
-    base_cycle_s = 16.0 * first["ipm_s"]
-    log(f"baseline: f64 interior-point {first['ipm_s']:.1f}s/batch-solve "
+    # The denominator is itself noisy on a contended host (round-4:
+    # vs_baseline swung 2x on one sample) — time the seed-0 oracle IPM
+    # solve 2 more times and use the MEDIAN of 3, reporting the spread.
+    ipm_times = [first["ipm_s"]]
+    b0 = oracle_batch(GATE_SEEDS[0], first["n_batches"])
+    for _ in range(2):
+        _, dt_i = ipm_best_response_batch0(
+            first["plan"], first["mission"], first["param"],
+            first["ctrl"], b0)
+        ipm_times.append(dt_i)
+    ipm_times.sort()
+    ipm_med = float(np.median(ipm_times))
+    base_cycle_s = 16.0 * ipm_med
+    log(f"baseline: f64 interior-point {ipm_med:.1f}s/batch-solve "
+        f"(3 timings {ipm_times[0]:.1f}-{ipm_times[-1]:.1f}s) "
         f"x 16 batches -> {base_cycle_s:.1f}s/cycle (single CPU core "
         f"class)")
 
@@ -643,6 +708,13 @@ def main():
         "value": round(cycles_per_s, 3),
         "unit": "cycles/s",
         "vs_baseline": round(cycles_per_s * base_cycle_s, 1),
+        # dispersion guard (round-5): value = MEDIAN of k pipelined
+        # windows; high_variance flags tunnel contamination
+        "value_best": round(cycles_best, 3),
+        "value_windows": [round(r, 2) for r in win_rates],
+        "dispersion": round(dispersion, 3),
+        "high_variance": bool(dispersion > 0.15),
+        "ipm_baseline_s": [round(t, 2) for t in ipm_times],
         "gate_seeds": len(GATE_SEEDS),
         "ratio_seed0": m0["ratio"],
         "obj_vs_ipm": round(m0["obj_b0"] / m0["obj_ref"], 3),
@@ -667,6 +739,7 @@ def main():
     }
     if agg_cycles_per_s is not None:
         out["aggregate_cycles_per_s"] = round(agg_cycles_per_s, 3)
+        out["aggregate_cycles_per_s_best"] = round(agg_best, 3)
         out["aggregate_problems"] = len(stacked)
     if os.environ.get("BENCH_DEGRADED"):
         out["degraded"] = os.environ["BENCH_DEGRADED"]

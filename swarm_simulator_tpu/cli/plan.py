@@ -77,10 +77,11 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="joint-path round-0 KKT prep: host f64 (max "
                         "polish + fused warm cycles) or on-device f32 "
                         "+ PCG refine (low time-to-first-plan)")
-    p.add_argument("--polish-rounds", type=int, default=0,
+    p.add_argument("--polish-rounds", type=int, default=None,
                    help="joint-path warm polish extensions after the "
                         "cold solve (objective-margin escalation for "
-                        "big swarms; see qp/joint.py)")
+                        "big swarms; default auto = 4 for >= 128 "
+                        "agents, 0 below; see qp/joint.py)")
     p.add_argument("--replan-prep",
                    choices=["auto", "fresh", "device", "stale"],
                    default="auto",

@@ -104,8 +104,9 @@ class Param:
     #   polish_rounds: warm polish extensions after the cold solve
     #   (qp/joint ESCALATION_BUDGETS; x0-only updates on the resident
     #   operator) — how big swarms reach the 64-agent objective-margin
-    #   standard (benchmarks/oracle256_polish_tpu.json)
-    polish_rounds: int = 0
+    #   standard (benchmarks/oracle256_polish_tpu.json).  None = auto:
+    #   qp/joint.polish_rounds_for_swarm (4 for >= 128 agents, else 0)
+    polish_rounds: Optional[int] = None
 
     @property
     def world_min(self) -> np.ndarray:

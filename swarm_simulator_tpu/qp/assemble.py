@@ -27,12 +27,48 @@ from ..core.types import Mission, Param, PlanResult
 
 BIG = 1e8  # reference uses 1e7 placeholders (rbp_planner.hpp:480-481)
 
-#: knot-face guard (see the box-bound block in assemble_batch).  MUST
-#: equal the largest NSSettings.tighten any production phase uses
-#: (qp/joint.production_settings: 2e-3) — the guard pre-relaxes thin
-#: knot-row intersections by exactly the tightening the solver will
-#: re-apply, so the net constraint is the true box intersection.
+#: knot-face guard: a knot is BOTH the last control point of segment
+#: m-1 and the first of segment m, so its duplicated rows bind to the
+#: INTERSECTION of the two SFC boxes.  Consecutive boxes may share only
+#: a face (zero-width intersection — the grid path runs exactly along
+#: it), which a solver's per-row tightening (NSSettings.tighten,
+#: production 2e-3) would invert into an INFEASIBLE pair of rows: ADMM
+#: stalls at a least-violation point and the gate fails on box_viol
+#: (64-agent forest seed 17, r_prim pinned at ~7e-3).  CPLEX without
+#: tightening sits exactly on the face (rbp_planner.hpp:585-600 box
+#: rows carry no margin).  The cure lives in the SOLVER layer
+#: (nullspace._bounds), where the actual tighten t is known: thin
+#: intersections are pre-relaxed by min(t, KNOT_FACE_GUARD) so the
+#: post-tightening constraint recovers the true intersection exactly
+#: (round-5: moved out of assembly so tighten=0 consumers — the f64
+#: IPM oracle, plain solve_ns — see the TRUE bounds, not a 2e-3
+#: relaxation).  The constant caps the relaxation so a caller with a
+#: huge tighten cannot relax a knot row into an obstacle: the relaxed
+#: interval stays inside the union of the two obstacle-free boxes.
 KNOT_FACE_GUARD = 2e-3
+
+
+def relax_thin_knot_rows(lb: np.ndarray, ub: np.ndarray, n: int,
+                         interior: float = 5e-4):
+    """Relax zero/near-zero-width duplicated knot rows of host [B, 3, D]
+    bounds by ``interior`` — for BARRIER consumers (qp/ipm.py) that need
+    strictly positive slack on every inequality.  First-order paths must
+    NOT use this (nullspace._bounds handles thin rows tighten-aware);
+    the 5e-4 excursion stays under the 1e-3 acceptance-gate bound.
+    Returns new (lb, ub) copies."""
+    B, K3, D = lb.shape
+    npp = n + 1
+    M = D // npp
+    lbv = lb.reshape(B, K3, M, npp).copy()
+    ubv = ub.reshape(B, K3, M, npp).copy()
+    ilo = np.maximum(lbv[:, :, :-1, n], lbv[:, :, 1:, 0])
+    ihi = np.minimum(ubv[:, :, :-1, n], ubv[:, :, 1:, 0])
+    thin = (ihi - ilo) < 2 * KNOT_FACE_GUARD
+    lbv[:, :, :-1, n] = np.where(thin, ilo - interior, lbv[:, :, :-1, n])
+    lbv[:, :, 1:, 0] = np.where(thin, ilo - interior, lbv[:, :, 1:, 0])
+    ubv[:, :, :-1, n] = np.where(thin, ihi + interior, ubv[:, :, :-1, n])
+    ubv[:, :, 1:, 0] = np.where(thin, ihi + interior, ubv[:, :, 1:, 0])
+    return lbv.reshape(B, K3, D), ubv.reshape(B, K3, D)
 
 
 @jax.tree_util.register_dataclass
@@ -197,30 +233,11 @@ def assemble_batch(
         np.broadcast_to(boxes[:, :, None, 0:3], (B, M, n + 1, 3)))
     ub = np.ascontiguousarray(
         np.broadcast_to(boxes[:, :, None, 3:6], (B, M, n + 1, 3)))
-    # knot-face guard: a knot is BOTH the last control point of segment
-    # m-1 and the first of segment m, so its duplicated rows bind to the
-    # INTERSECTION of the two SFC boxes.  Consecutive boxes may share
-    # only a face (zero-width intersection — the grid path runs exactly
-    # along it), which the solver's per-row tightening (NSSettings.
-    # tighten, production 2e-3) then inverts into an INFEASIBLE pair of
-    # rows: ADMM stalls at a least-violation point and the gate fails
-    # on box_viol (64-agent forest seed 17, r_prim pinned at ~7e-3).
-    # CPLEX without tightening would sit exactly on the face
-    # (rbp_planner.hpp:585-600 box rows carry no margin).  Where the
-    # intersection is thinner than 2*guard, relax BOTH duplicated rows
-    # by exactly the guard so the post-tightening constraint recovers
-    # the true intersection; the relaxed interval stays inside the
-    # union of the two obstacle-free boxes (other axes bind to the
-    # intersection), so every admissible point remains in free space.
-    if M > 1:
-        g = KNOT_FACE_GUARD
-        inter_lo = np.maximum(boxes[:, :-1, 0:3], boxes[:, 1:, 0:3])
-        inter_hi = np.minimum(boxes[:, :-1, 3:6], boxes[:, 1:, 3:6])
-        thin = (inter_hi - inter_lo) < 2 * g
-        lb[:, :-1, n] = np.where(thin, inter_lo - g, lb[:, :-1, n])
-        lb[:, 1:, 0] = np.where(thin, inter_lo - g, lb[:, 1:, 0])
-        ub[:, :-1, n] = np.where(thin, inter_hi + g, ub[:, :-1, n])
-        ub[:, 1:, 0] = np.where(thin, inter_hi + g, ub[:, 1:, 0])
+    # NOTE the bounds are the TRUE per-segment boxes — duplicated knot
+    # rows may intersect to zero width where consecutive boxes share
+    # only a face.  The tighten-aware relaxation of those rows lives in
+    # the solver layer (nullspace._bounds, see KNOT_FACE_GUARD above);
+    # barrier consumers needing positive slack use relax_thin_knot_rows.
     lb = lb.reshape(B, D, 3).transpose(0, 2, 1).copy()  # [B, 3, D]
     ub = ub.reshape(B, D, 3).transpose(0, 2, 1).copy()
 

@@ -63,10 +63,28 @@ def budgets_for_swarm(qn: int) -> tuple[int, int, int]:
     return PRODUCTION_BUDGETS
 
 
-#: default per-round replan budgets for big swarms (>= 128 agents) —
-#: measured against the rotating IPM best-response oracle across a
-#: corridor-refresh chain (tools/replan256_chain.py; see the replan
-#: block in solve_trajectories for the numbers)
+def polish_rounds_for_swarm(qn: int) -> int:
+    """Default warm polish extensions after the cold solve.  Big swarms
+    (>= 128 agents) NEED them to reach the 64-agent objective-margin
+    standard: the 256-agent rotating IPM best-response oracle measured
+    cold margin 1.52, cold+polish(4) margin 1.242 <= the 1.25 bar
+    (benchmarks/oracle256_polish_tpu.json) — so polish(4) IS the
+    production default there, not an opt-in flag (round-5; matches the
+    reference's always-optimal CPLEX solve, rbp_planner.hpp:158).
+    Small swarms already land ~1.06 without polish (BENCH_r04)."""
+    return 4 if qn >= 128 else 0
+
+
+#: short per-round replan budgets for big swarms (>= 128 agents),
+#: EXPLICIT OPT-IN ONLY: measured against the rotating IPM
+#: best-response oracle across a corridor-refresh chain
+#: (benchmarks/replan256_oracle_tpu.json, replan256_chain_tpu.json)
+#: every short round's worst margin stayed 1.8-3.9 — above the 1.25
+#: licensing bar (both artifacts record licensed: null) — so the
+#: production default for large-swarm replans remains the FULL phase
+#: budgets; callers trading objective margin for the measured
+#: ~8.3 s/round latency opt in via replan_budgets=REPLAN_BUDGETS_LARGE
+#: (which then forces kkt_refine >= 1, the best-measured short arm).
 REPLAN_BUDGETS_LARGE = (50, 200, 50)
 
 
@@ -198,38 +216,15 @@ def rescue_box_batches(plan, mission, param, ctrl, tol: float = 1e-3):
             lambda v: np.asarray(v, np.float64)
             if np.asarray(v).dtype in (np.float32, np.float64)
             else np.asarray(v), data_b)
-        # re-tighten ONLY the knot rows the face guard relaxed
-        # (assemble.KNOT_FACE_GUARD): without this the barrier exploits
-        # the relaxation to sit exactly 2e-3 outside the true segment
-        # box, which the gate measures as a violation.  A 5e-4 interior
-        # is kept (IPM needs positive slack; the residual face
-        # excursion stays under the 1e-3 gate bound).  Do NOT tighten
-        # any other row — a blanket lb+t/ub-t collides with the
+        # relax zero-width duplicated knot rows by 5e-4 (IPM needs
+        # positive slack on every inequality; the residual face
+        # excursion stays under the 1e-3 gate bound).  Do NOT relax or
+        # tighten any other row — a blanket lb+t/ub-t collides with the
         # equality-pinned endpoints sitting on box faces and the IPM
         # diverges (mu -> inf, an infeasibility certificate)
-        g = assemble.KNOT_FACE_GUARD
-        npp = param.n + 1
-        Bq, _, Dq = data_b.lb.shape
-        Mq = Dq // npp
-        bx = boxes[agents]
-        ilo = np.maximum(bx[:, :-1, :3], bx[:, 1:, :3])   # [B, M-1, 3]
-        ihi = np.minimum(bx[:, :-1, 3:], bx[:, 1:, 3:])
-        thin = ((ihi - ilo) < 2 * g).transpose(0, 2, 1)   # [B, 3, M-1]
-        iloT = ilo.transpose(0, 2, 1)
-        ihiT = ihi.transpose(0, 2, 1)
-        lbv = data_b.lb.reshape(Bq, 3, Mq, npp).copy()
-        ubv = data_b.ub.reshape(Bq, 3, Mq, npp).copy()
-        lbv[:, :, :-1, param.n] = np.where(thin, iloT - 5e-4,
-                                           lbv[:, :, :-1, param.n])
-        lbv[:, :, 1:, 0] = np.where(thin, iloT - 5e-4,
-                                    lbv[:, :, 1:, 0])
-        ubv[:, :, :-1, param.n] = np.where(thin, ihiT + 5e-4,
-                                           ubv[:, :, :-1, param.n])
-        ubv[:, :, 1:, 0] = np.where(thin, ihiT + 5e-4,
-                                    ubv[:, :, 1:, 0])
-        data_b = dataclasses.replace(data_b,
-                                     lb=lbv.reshape(Bq, 3, Dq),
-                                     ub=ubv.reshape(Bq, 3, Dq))
+        lb_r, ub_r = assemble.relax_thin_knot_rows(
+            np.asarray(data_b.lb), np.asarray(data_b.ub), param.n)
+        data_b = dataclasses.replace(data_b, lb=lb_r, ub=ub_r)
         res = ipm.solve_ipm_reduced(data_b)
         ipm.verify_optimal(data_b, res, tol=1e-5)
         out[agents] = convert.x_to_ctrl(res.x, plan.M, param.n)
@@ -283,18 +278,42 @@ def _solve_phases_jit(data, op, phases):
     return nullspace.solve_ns_phases(data, phases, op=op)
 
 
+@partial(jax.jit, static_argnames=("s_base",))
+def _solve_schedule_jit(data, op, s_base, it_k, lo_k, hi_k):
+    """Schedule-array solve: budgets/fences are jit ARGUMENTS, so the
+    cold, warm-polish, and escalation schedules (same normalized
+    s_base) share ONE executable — the round-5 cold-compile cure
+    (BENCH_r04 measured 192.6 s for the three-phase-body program)."""
+    return nullspace.solve_ns_schedule(data, op, s_base, it_k, lo_k,
+                                       hi_k)
+
+
+def _run_schedule(data_dev, op_dev, phases):
+    """Dispatch: schedule-compatible phase tuples go through the
+    shared-executable path; anything else falls back to the static
+    per-phase program."""
+    sched = nullspace.schedule_arrays(phases)
+    if sched is not None:
+        s0, it_k, lo_k, hi_k = sched
+        return _solve_schedule_jit(data_dev, op_dev, s0, it_k, lo_k,
+                                   hi_k)
+    return _solve_phases_jit(data_dev, op_dev, phases=phases)
+
+
 def solve_trajectories(plan: PlanResult, mission: Mission, param: Param,
                        phases: tuple[nullspace.NSSettings, ...] | None = None,
                        replan_budgets: tuple[int, int, int] | None = None,
                        replan_prep: str | None = None,
                        cold_prep: str = "host",
                        dummy: np.ndarray | None = None,
-                       polish_rounds: int = 0,
+                       polish_rounds: int | None = None,
                        ) -> PlanResult:
     """Pipeline entry for Param.solver == "nullspace": fills plan.ctrl /
     plan.coef / plan.solver_info like seqbatch.solve_trajectories.
 
-    polish_rounds > 0 runs warm polish extensions after the cold solve:
+    polish_rounds None = auto (polish_rounds_for_swarm: 4 for >= 128
+    agents, 0 below).  > 0 runs warm polish extensions after the cold
+    solve:
     x0 <- the previous solution (only the x0 leaf changes — the KKT
     inventory stays device-resident, the pair data is unchanged), with
     the ESCALATION_BUDGETS schedule.  The 256-agent oracle study
@@ -341,6 +360,8 @@ def solve_trajectories(plan: PlanResult, mission: Mission, param: Param,
 
     from ..corridor.rsfc import build_rsfc
 
+    if polish_rounds is None:
+        polish_rounds = polish_rounds_for_swarm(mission.qn)
     if phases is None:
         phases = production_phases()
     phases = select_kkt_path(phases, mission.qn, plan.M,
@@ -388,8 +409,8 @@ def solve_trajectories(plan: PlanResult, mission: Mission, param: Param,
         op_dev = jax.device_put(op)     # pivot inventory uploaded ONCE
 
     def run(data_h, op_d, ph):
-        x, info = _solve_phases_jit(jax.tree.map(jnp.asarray, data_h),
-                                    op_d, phases=ph)
+        x, info = _run_schedule(jax.tree.map(jnp.asarray, data_h),
+                                op_d, ph)
         return convert.x_to_ctrl(np.asarray(x, np.float64), M, n), info
 
     ctrl, info = run(data, op_dev, phases)
@@ -407,7 +428,7 @@ def solve_trajectories(plan: PlanResult, mission: Mission, param: Param,
                 ctrl.reshape(N, M * (n + 1), 3).transpose(0, 2, 1),
                 jnp.float32)
             data_dev = dataclasses.replace(data_dev, x0=x0n)
-            x, info = _solve_phases_jit(data_dev, op_dev, phases=pphases)
+            x, info = _run_schedule(data_dev, op_dev, pphases)
             ctrl = convert.x_to_ctrl(np.asarray(x, np.float64), M, n)
             polish_s += time.perf_counter() - t0
 
@@ -415,22 +436,23 @@ def solve_trajectories(plan: PlanResult, mission: Mission, param: Param,
 
     if param.iteration > 1:
         # replan phases compile once and are reused across rounds.
-        # Big swarms default to the SHORT oracle-measured schedule
-        # (benchmarks/replan256_chain_tpu.json, v5e): (50, 200, 50)
-        # refine-1 rounds are gate-clean at every corridor refresh,
-        # the objective improves monotonically across the chain
-        # (6.92 -> 2.42 over 3 rounds at 256 agents — refreshes beat
-        # the single-corridor optimum), and the rotating best-response
-        # margin contracts 3.2 -> 1.84, at 8.3 s/round vs ~13 s for
-        # full budgets.  A longer per-round budget buys margin, not
-        # safety; state-warm (carrying ADMM duals) measured
+        # DEFAULT = the cold phases' FULL budgets at every swarm size:
+        # the short large-swarm schedule (REPLAN_BUDGETS_LARGE, 8.3
+        # s/round) stayed 1.8-3.9x above the rotating best-response
+        # oracle in every measured arm (benchmarks/
+        # replan256_oracle_tpu.json licensed: null), so it is explicit
+        # opt-in via replan_budgets — and then forced to kkt_refine>=1,
+        # its best-measured configuration (worst margin 3.3 vs 3.9
+        # refine-0).  State-warm (carrying ADMM duals) measured
         # indistinguishable from x0-warm under refine-1.
         rb = (replan_budgets if replan_budgets is not None
-              else REPLAN_BUDGETS_LARGE if mission.qn >= 128
               else tuple(s.max_iter for s in phases))
+        short = (replan_budgets is not None
+                 and sum(rb) < sum(s.max_iter for s in phases))
         rphases = production_phases(
             rb, base=phases[1],
-            kkt_refine=1 if replan_prep in ("stale", "device") else 0)
+            kkt_refine=1 if (replan_prep in ("stale", "device")
+                             or (short and mission.qn >= 128)) else 0)
         prep_jit = (jax.jit(lambda d: nullspace.prepare_ns(d, rphases[0]))
                     if replan_prep == "device" else None)
         for _ in range(param.iteration - 1):

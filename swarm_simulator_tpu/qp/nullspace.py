@@ -945,10 +945,39 @@ def _AT_x(data: QPData, y: NSConstr, pop: PairOp) -> jnp.ndarray:
 
 
 def _bounds(data: QPData, tighten: float = 0.0) -> tuple[NSConstr, NSConstr]:
+    from .assemble import KNOT_FACE_GUARD
+
     big = jnp.asarray(BIG, data.lb.dtype)
     t = jnp.asarray(tighten, data.lb.dtype)
     pair_l = jnp.where(data.pair_rhs > -BIG / 2, data.pair_rhs + t,
                        data.pair_rhs)
+    lb, ub = data.lb, data.ub
+    # knot-face pre-relaxation (tighten-aware; see assemble.
+    # KNOT_FACE_GUARD): the duplicated knot rows bind to the
+    # INTERSECTION of consecutive SFC boxes, which may be zero-width
+    # where boxes share only a face.  Tightening would invert such a
+    # pair of rows into infeasibility; instead relax BOTH rows by
+    # g = min(t, guard) so the post-tightening constraint recovers the
+    # true intersection EXACTLY (production t == guard == 2e-3), while
+    # tighten=0 consumers see the true bounds untouched.  The relaxed
+    # interval stays inside the union of the two obstacle-free boxes.
+    M = data.Qseg.shape[-3]
+    if M > 1 and float(tighten) > 0.0:
+        g = jnp.minimum(t, jnp.asarray(KNOT_FACE_GUARD, lb.dtype))
+        sh = lb.shape[:-1] + (M, lb.shape[-1] // M)
+        lbv, ubv = lb.reshape(sh), ub.reshape(sh)
+        ilo = jnp.maximum(lbv[..., :-1, -1], lbv[..., 1:, 0])
+        ihi = jnp.minimum(ubv[..., :-1, -1], ubv[..., 1:, 0])
+        thin = (ihi - ilo) < 2 * KNOT_FACE_GUARD
+        lbv = lbv.at[..., :-1, -1].set(jnp.where(thin, ilo - g,
+                                                 lbv[..., :-1, -1]))
+        lbv = lbv.at[..., 1:, 0].set(jnp.where(thin, ilo - g,
+                                               lbv[..., 1:, 0]))
+        ubv = ubv.at[..., :-1, -1].set(jnp.where(thin, ihi + g,
+                                                 ubv[..., :-1, -1]))
+        ubv = ubv.at[..., 1:, 0].set(jnp.where(thin, ihi + g,
+                                               ubv[..., 1:, 0]))
+        lb, ub = lbv.reshape(lb.shape), ubv.reshape(ub.shape)
     # per-row clamp: never tighten a box row beyond its own midpoint.
     # SFC boxes can be DEGENERATE in one axis (a narrow slot between
     # obstacles expands to ymin == ymax — 64-agent forest seed 17,
@@ -957,17 +986,28 @@ def _bounds(data: QPData, tighten: float = 0.0) -> tuple[NSConstr, NSConstr]:
     # 2t, ADMM stalls at a least-violation point, and the box gate
     # fails.  CPLEX applies no tightening to these rows
     # (rbp_planner.hpp:585-600), so width-0 rows must stay width-0.
-    t_box = jnp.minimum(t, 0.5 * (data.ub - data.lb))
-    l = NSConstr(box=data.lb + t_box, pair=pair_l)
-    u = NSConstr(box=data.ub - t_box,
+    t_box = jnp.minimum(t, 0.5 * (ub - lb))
+    l = NSConstr(box=lb + t_box, pair=pair_l)
+    u = NSConstr(box=ub - t_box,
                  pair=jnp.full_like(data.pair_rhs, big))
     return l, u
 
 
 def _iterate_ns(data: QPData, op: NSOp, s: NSSettings, init=None,
-                return_state: bool = False):
+                return_state: bool = False, schedule=None):
     """ADMM loop in knot-state coordinates.  init: (w, z, y, rho_idx)
-    from a previous call (Jacobi round) via return_state=True."""
+    from a previous call (Jacobi round) via return_state=True.
+
+    schedule: optional (max_iters [K], idx_lo [K], idx_hi [K]) int
+    arrays — run K fenced phases as ONE lax.scan whose body contains
+    the single compiled while-loop, with the per-phase budget and rho
+    fences as TRACED scalars.  This is the compile-wall path
+    (round-5): a 3-phase production schedule previously traced three
+    copies of the chunk body (~190 s cold compile at 64 agents on the
+    v5e); the scan form traces it once, and schedules that share a
+    base NSSettings (cold / polish / escalation) can share one
+    EXECUTABLE by passing the arrays as jit arguments.  s.max_iter /
+    s.rho_lo / s.rho_hi are ignored in this mode."""
     B, K3, D = data.lb.shape
     dt_ = data.lb.dtype
     M = op.F0.shape[0]
@@ -1128,9 +1168,12 @@ def _iterate_ns(data: QPData, op: NSOp, s: NSSettings, init=None,
             length=s.check_every)
         return w_, z_, y_
 
-    def rho_update(rho_idx, done, r_prim, r_dual, n_prim, n_dual):
+    def rho_update(rho_idx, done, r_prim, r_dual, n_prim, n_dual,
+                   lo=None, hi=None):
         if not s.adaptive_rho:
             return rho_idx
+        lo = idx_lo if lo is None else lo
+        hi = idx_hi if hi is None else hi
         tiny = jnp.asarray(1e-10, dt_)
         rho_s = op.ladder[rho_idx]
         ratio = jnp.sqrt(
@@ -1141,8 +1184,28 @@ def _iterate_ns(data: QPData, op: NSOp, s: NSSettings, init=None,
                  (cand < rho_s / s.adapt_threshold)
         cand_idx = jnp.clip(
             jnp.argmin(jnp.abs(lad_log - jnp.log(cand))),
-            idx_lo, idx_hi)
+            lo, hi)
         return jnp.where(done | ~change, rho_idx, cand_idx)
+
+    def run_phase(state0, lo, hi, max_it):
+        """One fenced phase: while_loop of check_every chunks.  lo/hi/
+        max_it may be TRACED scalars — the schedule path scans over
+        them with ONE compiled body (the round-5 compile-wall cure)."""
+
+        def cond(st):
+            return (st[4] < max_it) & ~st[5]
+
+        def body(st):
+            w, z, y, rho_idx, it, _ = st
+            w, z, y = chunk_map(w, z, y, rho_idx)
+            r_prim, r_dual, n_prim, n_dual = residuals(w, z, y)
+            done = (r_prim <= eps_abs + eps_rel * n_prim) & \
+                   (r_dual <= eps_dual + eps_rel * n_dual)
+            rho_idx = rho_update(rho_idx, done, r_prim, r_dual,
+                                 n_prim, n_dual, lo, hi)
+            return w, z, y, rho_idx, it + s.check_every, done
+
+        return jax.lax.while_loop(cond, body, state0)
 
     def outer_body(state):
         w, z, y, rho_idx, it, _ = state
@@ -1202,7 +1265,23 @@ def _iterate_ns(data: QPData, op: NSOp, s: NSSettings, init=None,
         it, done = state[4], state[5]
         return (it < s.max_iter) & ~done
 
-    if aa:
+    if schedule is not None:
+        if aa:
+            raise ValueError("schedule mode does not support aa_depth")
+        it_k, lo_k, hi_k = (jnp.asarray(a) for a in schedule)
+
+        def phase_step(carry, ph):
+            w, z, y, rho_idx, total = carry
+            max_it, lo, hi = ph
+            st0 = (w, z, y, jnp.clip(rho_idx, lo, hi),
+                   jnp.asarray(0), jnp.asarray(False))
+            w, z, y, rho_idx, it, _ = run_phase(st0, lo, hi, max_it)
+            return (w, z, y, rho_idx, total + it), None
+
+        (w, z, y, rho_idx, it), _ = jax.lax.scan(
+            phase_step, (w, z, y, rho_idx, jnp.asarray(0)),
+            (it_k, lo_k, hi_k))
+    elif aa:
         Fh0 = jnp.zeros((aa + 1, Lv), dt_)
         state = (w, z, y, rho_idx, jnp.asarray(0), jnp.asarray(False),
                  Fh0, Fh0, jnp.asarray(0), jnp.asarray(jnp.inf, dt_))
@@ -1226,6 +1305,62 @@ def solve_single_ns(data: QPData, s: NSSettings):
     with jax.default_matmul_precision("highest"):
         op = prepare_ns(data, s)
         return _iterate_ns(data, op, s)
+
+
+def schedule_arrays(phases: tuple[NSSettings, ...]):
+    """(s_base, max_iters [K], idx_lo [K], idx_hi [K]) for a phase
+    tuple whose members differ ONLY in max_iter / rho_lo / rho_hi —
+    the production shape (feasibility -> polish -> restore) — or None
+    if the tuple is not schedule-compatible.  The fence indices are
+    computed on host from the STATIC ladder definition (rho_min /
+    rho_max / n_rungs are settings floats), so the arrays can be jit
+    ARGUMENTS: schedules sharing s_base (cold / warm-polish /
+    escalation) then share one compiled executable."""
+    import dataclasses
+
+    import numpy as onp
+
+    s0 = phases[0]
+    if s0.aa_depth:
+        return None
+    neutral = lambda p: dataclasses.replace(  # noqa: E731
+        p, max_iter=0, rho_lo=None, rho_hi=None)
+    if any(neutral(p) != neutral(s0) for p in phases[1:]):
+        return None
+    if s0.adaptive_rho:
+        ladder = onp.logspace(onp.log10(s0.rho_min),
+                              onp.log10(s0.rho_max), s0.n_rungs)
+    else:
+        ladder = onp.asarray([s0.rho])
+    llog = onp.log(ladder)
+
+    def fence(r, default):
+        if r is None:
+            return default
+        return int(onp.argmin(onp.abs(llog - onp.log(r))))
+
+    it_k = onp.asarray([p.max_iter for p in phases], onp.int32)
+    lo_k = onp.asarray([fence(p.rho_lo, 0) for p in phases], onp.int32)
+    hi_k = onp.asarray([fence(p.rho_hi, len(ladder) - 1)
+                        for p in phases], onp.int32)
+    # NORMALIZED base (budget/fence fields zeroed): schedules that
+    # differ only in budgets/fences — cold vs warm-polish vs
+    # escalation — hash to the SAME static jit argument and share one
+    # compiled executable
+    return neutral(s0), it_k, lo_k, hi_k
+
+
+def solve_ns_schedule(data: QPData, op: NSOp, s_base: NSSettings,
+                      it_k, lo_k, hi_k, init=None,
+                      return_state: bool = False):
+    """Phased solve with the per-phase budgets/fences as (possibly
+    traced) ARRAYS — one compiled while-body for the whole schedule;
+    see _iterate_ns(schedule=...).  SolveInfo.iters is the total
+    across phases."""
+    with jax.default_matmul_precision("highest"):
+        return _iterate_ns(data, op, s_base, init=init,
+                           return_state=return_state,
+                           schedule=(it_k, lo_k, hi_k))
 
 
 def solve_ns_phases(data: QPData, phases: tuple[NSSettings, ...],
@@ -1257,6 +1392,17 @@ def solve_ns_phases(data: QPData, phases: tuple[NSSettings, ...],
     with jax.default_matmul_precision("highest"):
         if op is None:
             op = prepare_ns(data, phases[0])
+        sched = schedule_arrays(phases) if len(phases) > 1 else None
+        if sched is not None:
+            # ONE traced while-body for the whole schedule (round-5
+            # compile-wall path; budgets/fences become scan operands)
+            s0, it_k, lo_k, hi_k = sched
+            x, info, state = _iterate_ns(data, op, s0, init=init,
+                                         return_state=True,
+                                         schedule=(it_k, lo_k, hi_k))
+            if return_state:
+                return x, info, state
+            return x, info
         state = init
         x = info = None
         iters_total = 0

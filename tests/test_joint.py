@@ -124,6 +124,37 @@ def test_production_recipe_pinned():
     assert all(not p.fused_chunk and p.kkt_refine == 1 for p in r)
 
 
+def test_large_swarm_defaults_are_licensed_recipe():
+    """Round-5 policy pins (VERDICT r4 #3 + advisor): a plain
+    solve_trajectories caller at >= 128 agents gets the ORACLE-LICENSED
+    recipe by default — polish(4) after the cold solve (cold margin
+    1.52 -> 1.242 <= 1.25, benchmarks/oracle256_polish_tpu.json) —
+    and large-swarm replans default to FULL budgets (the short
+    REPLAN_BUDGETS_LARGE schedule never met the 1.25 licensing bar:
+    both replan256 artifacts record licensed: null)."""
+    from swarm_simulator_tpu.qp import joint
+
+    assert joint.polish_rounds_for_swarm(256) == 4
+    assert joint.polish_rounds_for_swarm(128) == 4
+    assert joint.polish_rounds_for_swarm(64) == 0
+    assert joint.polish_rounds_for_swarm(2) == 0
+
+    # the auto default flows through solve_trajectories: a tiny solve
+    # reports polish_rounds 0 (auto), an explicit request is honored
+    from __graft_entry__ import _tiny_plan
+
+    from swarm_simulator_tpu.core.types import Param
+
+    plan, mission, dummy = _tiny_plan(n_agents=2, M=4)
+    param = Param(solver_dtype="float32", time_scale=False)
+    phases = joint.production_phases((30, 60, 30), fused=False)
+    p1 = joint.solve_trajectories(plan, mission, param, phases=phases)
+    assert p1.solver_info["polish_rounds"] == 0
+    p2 = joint.solve_trajectories(plan, mission, param, phases=phases,
+                                  polish_rounds=1)
+    assert p2.solver_info["polish_rounds"] == 1
+
+
 def test_kkt_path_autoselection():
     """Past the fused VMEM bound, aligned big swarms route to the
     streaming Pallas Thomas kernel (measured 3.4x the XLA scan on the
@@ -284,22 +315,36 @@ def test_degenerate_box_guard_and_rescue():
     data = assemble.assemble_batch(plan, mission, param,
                                    np.array([0, 1]), dummy,
                                    device=False)
-    # knot-face guard: duplicated knot rows at the thin faces are
-    # relaxed by exactly KNOT_FACE_GUARD around the true intersection
+    # round-5: assembly stores the TRUE bounds (no relaxation) — the
+    # tighten-aware knot-face relaxation moved to nullspace._bounds
     n = param.n
     lbv = np.asarray(data.lb).reshape(2, 3, plan.M, n + 1)
     ubv = np.asarray(data.ub).reshape(2, 3, plan.M, n + 1)
     g = assemble.KNOT_FACE_GUARD
-    assert np.isclose(lbv[0, 2, 1, 0], 0.5 - g)      # knot seg0/seg1
-    assert np.isclose(ubv[0, 2, 1, 0], 0.5 + g)
-    assert np.isclose(lbv[0, 2, 0, n], 0.5 - g)      # duplicated row
+    assert lbv[0, 2, 1, 0] == ubv[0, 2, 1, 0] == 0.5  # knot seg0/seg1
     # interior control points of the slot segment stay width-0
     assert lbv[0, 2, 1, 2] == ubv[0, 2, 1, 2] == 0.5
 
-    # per-row tighten clamp: no inverted rows after tightening
+    # solver layer at production tighten: thin knot rows relaxed by
+    # min(t, guard) = g around the true intersection, then tightened
+    # back — the NET constraint is the exact intersection; no inverted
+    # rows anywhere
     l, u = nullspace._bounds(
         jax.tree.map(jnp.asarray, data), tighten=2e-3)
+    lbt = np.asarray(l.box).reshape(2, 3, plan.M, n + 1)
+    ubt = np.asarray(u.box).reshape(2, 3, plan.M, n + 1)
+    assert np.isclose(lbt[0, 2, 1, 0], 0.5) and np.isclose(
+        ubt[0, 2, 1, 0], 0.5)
     assert float(jnp.min(u.box - l.box)) >= 0.0
+    # tighten=0 consumers (IPM oracle, plain solve_ns) see TRUE bounds
+    l0, u0 = nullspace._bounds(jax.tree.map(jnp.asarray, data), 0.0)
+    assert np.array_equal(np.asarray(l0.box), np.asarray(data.lb))
+    assert np.array_equal(np.asarray(u0.box), np.asarray(data.ub))
+    # barrier consumers get positive slack via relax_thin_knot_rows
+    lb_r, ub_r = assemble.relax_thin_knot_rows(
+        np.asarray(data.lb), np.asarray(data.ub), n)
+    rv = lb_r.reshape(2, 3, plan.M, n + 1)
+    assert np.isclose(rv[0, 2, 1, 0], 0.5 - 5e-4)
 
     # the production phases solve it gate-clean (feasible by
     # construction: the straight z=0.5 line satisfies the slot)

@@ -530,3 +530,57 @@ def test_fused_fits_rejects_unaligned_agent_lanes():
                              fused_chunk=True)
     op = nullspace.prepare_ns_np(data, s)
     assert np.asarray(op.Dinvs).ndim == 4
+
+
+def test_schedule_scan_matches_per_phase_path():
+    """Round-5 compile-wall path: solve_ns_schedule (ONE lax.scan'd
+    while-body, budgets/fences as traced arrays) must be BIT-IDENTICAL
+    to the legacy per-phase loop — same chunk math, same rho walk,
+    same early-exit semantics — and schedule_arrays must normalize the
+    base settings so cold/polish/escalation schedules share one jit
+    key."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from swarm_simulator_tpu.qp import joint, nullspace as ns
+
+    data, param = _data(n_agents=4, M=6)
+    d = jax.tree.map(jnp.asarray, data)
+    phases = joint.production_phases((100, 200, 100), fused=False)
+    op = jax.device_put(ns.prepare_ns_np(data, phases[0]))
+
+    # legacy path (force by per-phase _iterate_ns)
+    with jax.default_matmul_precision("highest"):
+        state, x1, i1 = None, None, None
+        total = 0
+        for s in phases:
+            x1, i1, state = ns._iterate_ns(d, op, s, init=state,
+                                           return_state=True)
+            total += int(i1.iters)
+
+    sched = ns.schedule_arrays(phases)
+    assert sched is not None
+    s0, it_k, lo_k, hi_k = sched
+    x2, i2 = ns.solve_ns_schedule(d, op, s0, it_k, lo_k, hi_k)
+    assert int(i2.iters) == total
+    assert float(jnp.max(jnp.abs(x1 - x2))) == 0.0
+
+    # normalized base: escalation schedule shares the SAME static key
+    esc = joint.escalation_phases(phases)
+    s0e, _, _, _ = ns.schedule_arrays(esc)
+    assert s0e == s0
+
+    # replan (kkt_refine) schedules get a DIFFERENT base (different
+    # math), and incompatible tuples are rejected
+    rep = joint.production_phases((50, 100, 50), base=phases[1],
+                                  kkt_refine=1)
+    s0r, _, _, _ = ns.schedule_arrays(rep)
+    assert s0r != s0
+    bad = (phases[0], dataclasses.replace(phases[1], check_every=25))
+    assert ns.schedule_arrays(bad) is None
+
+    # solve_ns_phases dispatches through the scan path transparently
+    x3, i3 = ns.solve_ns_phases(d, phases, op=op)
+    assert float(jnp.max(jnp.abs(x1 - x3))) == 0.0

@@ -66,17 +66,31 @@ def main():
     def solve_esc(d, o):
         return nullspace.solve_ns_phases(d, esc_phases, op=o)
 
+    from swarm_simulator_tpu.parallel.scenarios import pad_plan_segments
+
     rows = []
     wall0 = time.perf_counter()
     for seed in range(args.seed0, args.seed0 + args.seeds):
         plan, mission, param = bench.build_problem(seed)
+        M_raw = plan.M
+        if plan.M < 36:
+            # round-5 (VERDICT r4 #5 — no silent caps): short-makespan
+            # seeds PAD to the shared M=36 bucket (hold-at-goal
+            # segments, the reference's own makespan+3 relaxation taken
+            # further, ecbs_planner.hpp:49-70) and run through the same
+            # compiled executable + full gate.  Round-4 silently
+            # skipped seeds 18/31 (M=34/35) here.
+            plan = pad_plan_segments(plan, 36)
+            log(f"seed {seed}: M={M_raw} padded to 36 (shared bucket)")
         if plan.M != 36 and not args.allow_recompile:
-            # distinct M would compile a fresh program through the
-            # tunnel; report it as its own row rather than paying 4-20
-            # min (M=36 covers every seed seen so far at these knobs)
-            log(f"seed {seed}: M={plan.M} != 36 — skipped (would "
-                f"recompile); counted separately")
-            rows.append(dict(seed=seed, skipped_M=int(plan.M)))
+            # an M > 36 seed cannot pad DOWN; without --allow-recompile
+            # this is a FAILURE row (counted against gates), never a
+            # silent skip
+            log(f"seed {seed}: FAILURE M={plan.M} > 36 bucket — run "
+                f"with --allow-recompile to include it")
+            rows.append(dict(seed=seed, gate_ok=False,
+                             failure=f"M={plan.M} exceeds bucket",
+                             M=int(plan.M)))
             continue
         data, _ = bench.assemble_joint(plan, mission, param)
         t0 = time.perf_counter()
@@ -124,7 +138,7 @@ def main():
             f"solve {solve_s:.2f}s"
             + (" (escalated)" if retried else ""))
         rows.append(dict(seed=seed, gate_ok=bool(ok), retried=retried,
-                         M=int(plan.M),
+                         M=int(plan.M), M_raw=int(M_raw),
                          ratio=round(m["ratio"], 4),
                          box_viol=float(m["box_viol"]),
                          time_scale=float(m["time_scale"]),
