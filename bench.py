@@ -366,6 +366,11 @@ def main():
     assert sched is not None and esc_sched[0] == sched[0], \
         "production schedules must share a normalized base"
     s_base = sched[0]
+    # device-resident schedule arrays: passing host numpy would add 3
+    # tiny host->device transfers through the tunnel PER DISPATCH
+    sched = (s_base,) + tuple(jax.device_put(a) for a in sched[1:])
+    esc_sched = (s_base,) + tuple(jax.device_put(a)
+                                  for a in esc_sched[1:])
 
     @jax.jit
     def joint_solve_sched(data, op, jit_val, it_k, lo_k, hi_k):

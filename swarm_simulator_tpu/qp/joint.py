@@ -288,11 +288,23 @@ def _solve_schedule_jit(data, op, s_base, it_k, lo_k, hi_k):
                                        hi_k)
 
 
+#: device-resident schedule arrays per phase tuple (tiny; avoids 3
+#: host->device transfers through the tunnel on every dispatch)
+_SCHED_CACHE: dict = {}
+
+
 def _run_schedule(data_dev, op_dev, phases):
     """Dispatch: schedule-compatible phase tuples go through the
     shared-executable path; anything else falls back to the static
     per-phase program."""
-    sched = nullspace.schedule_arrays(phases)
+    cached = _SCHED_CACHE.get(phases)
+    if cached is None:
+        sched = nullspace.schedule_arrays(phases)
+        if sched is not None:
+            sched = (sched[0],) + tuple(jax.device_put(a)
+                                        for a in sched[1:])
+        _SCHED_CACHE[phases] = cached = (sched,)
+    (sched,) = cached
     if sched is not None:
         s0, it_k, lo_k, hi_k = sched
         return _solve_schedule_jit(data_dev, op_dev, s0, it_k, lo_k,

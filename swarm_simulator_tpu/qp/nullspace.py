@@ -327,19 +327,49 @@ def _check_bf16_precond(s: "NSSettings"):
             "lose the bandwidth win)")
 
 
-def prepare_ns_np(data: QPData, s: NSSettings) -> NSOp:
-    """Host float64 twin of prepare_ns (numpy), leaves cast to the
-    problem dtype at the end.
+def _banded_kd_builder_np(Qseg, L, R, C, c_s, sigma):
+    """Host builder of the banded KKT's [bs, bs] diagonal blocks:
+    returns (make_Kd(k, rho), Ho [Mi-1, phi, phi], bs).  Shared by
+    prepare_ns_np and the SPIKE substructuring prep
+    (qp/nullspace_shard.prepare_spike_np); Kd is formed per (rung,
+    knot) as one transient — materializing the Kronecker operands was
+    multi-GB at 256 agents."""
+    import numpy as onp
 
-    Why it exists: the KKT rung inverses are the one prep quantity whose
-    f32 on-device computation measurably degrades solution quality.  The
-    round-1/2 cross-platform swap experiment isolated it — f64-prep +
-    TPU-iterate matches CPU-f64 polish quality, TPU-prep + CPU-iterate
-    does not — and one on-device Newton refinement step only partially
-    closes the gap (the residual matmuls themselves run in TPU f32).
-    Computing the inverses in host f64 and rounding ONCE to f32 gives
-    the best representable f32 operator; prep is dummy-independent and
-    amortized over the whole phased solve."""
+    M, npp, _ = Qseg.shape
+    phi = npp // 2
+    B3 = C.shape[-1]
+    WL = onp.einsum("mia,mib->mab", L, L)
+    WR = onp.einsum("mia,mib->mab", R, R)
+    Q00 = onp.einsum("mia,mij,mjb->mab", L, Qseg[:, :phi, :phi], L)
+    Q11 = onp.einsum("mia,mij,mjb->mab", R, Qseg[:, phi:, phi:], R)
+    Q01 = onp.einsum("mia,mij,mjb->mab", L, Qseg[:, :phi, phi:], R)
+    Hd = c_s * (Q00[1:M] + Q11[0:M - 1])
+    NtN_k = WL[1:M] + WR[0:M - 1]
+    Ho = c_s * Q01[1:M - 1]
+    bs = B3 * phi
+    sigI = sigma * onp.eye(phi)
+    Hds = Hd + sigI                     # [Mi, phi, phi]
+    C1, C0 = C[1:M], C[0:M - 1]         # [Mi, B3, B3]
+    WL1, WR0 = WL[1:M], WR[0:M - 1]     # [Mi, phi, phi]
+    diag_idx = onp.arange(B3)
+
+    def make_Kd(k, rho):
+        K4 = C1[k][:, None, :, None] * (rho * WL1[k])[None, :,
+                                                      None, :]
+        K4 += C0[k][:, None, :, None] * (rho * WR0[k])[None, :,
+                                                       None, :]
+        K4[diag_idx, :, diag_idx, :] += Hds[k] + rho * NtN_k[k]
+        return K4.reshape(bs, bs)
+
+    return make_Kd, Ho, bs
+
+
+def _host_prep_ctx_np(data: QPData, s: NSSettings) -> dict:
+    """Shared host-f64 front of the banded preps: knot maps, null-space
+    map N, pinned trajectory, cost normalization, rho ladder, and the
+    pair coupling C.  Used by prepare_ns_np and the SPIKE
+    substructuring prep (qp/nullspace_shard.prepare_spike_np)."""
     import numpy as onp
 
     if data.dt is None:
@@ -426,6 +456,37 @@ def prepare_ns_np(data: QPData, s: NSSettings) -> NSOp:
     with ThreadPoolExecutor(max_workers=n_workers) as ex:
         list(ex.map(fill_C, range(M)))
 
+    return dict(Qseg=Qseg, M=M, npp=npp, phi=phi, D=D, B=B, B3=B3,
+                dt_=dt_, L=L, R=R, F0=F0, FT=FT, Mi=Mi, nw=nw, N=N,
+                x_pin=x_pin, c_s=c_s, g=g, ladder=ladder, C=C,
+                n_workers=n_workers, H_raw=H_raw)
+
+
+def prepare_ns_np(data: QPData, s: NSSettings) -> NSOp:
+    """Host float64 twin of prepare_ns (numpy), leaves cast to the
+    problem dtype at the end.
+
+    Why it exists: the KKT rung inverses are the one prep quantity whose
+    f32 on-device computation measurably degrades solution quality.  The
+    round-1/2 cross-platform swap experiment isolated it — f64-prep +
+    TPU-iterate matches CPU-f64 polish quality, TPU-prep + CPU-iterate
+    does not — and one on-device Newton refinement step only partially
+    closes the gap (the residual matmuls themselves run in TPU f32).
+    Computing the inverses in host f64 and rounding ONCE to f32 gives
+    the best representable f32 operator; prep is dummy-independent and
+    amortized over the whole phased solve."""
+    import numpy as onp
+    from concurrent.futures import ThreadPoolExecutor
+
+    ctx = _host_prep_ctx_np(data, s)
+    Qseg, M, npp, phi = ctx["Qseg"], ctx["M"], ctx["npp"], ctx["phi"]
+    B, B3, dt_, Mi, nw = (ctx["B"], ctx["B3"], ctx["dt_"], ctx["Mi"],
+                          ctx["nw"])
+    L, R, F0, FT = ctx["L"], ctx["R"], ctx["F0"], ctx["FT"]
+    N, x_pin, c_s, g = ctx["N"], ctx["x_pin"], ctx["c_s"], ctx["g"]
+    ladder, C, n_workers = ctx["ladder"], ctx["C"], ctx["n_workers"]
+    H_raw = ctx["H_raw"]
+
     def finish(**kw):
         # leaves stay HOST numpy (cast once to the problem dtype): the
         # caller decides when/where to transfer — on a tunneled remote
@@ -441,33 +502,8 @@ def prepare_ns_np(data: QPData, s: NSSettings) -> NSOp:
                     Dinvs=cast["Dinvs"], Kos=cast["Kos"])
 
     if s.kkt_mode == "banded":
-        WL = onp.einsum("mia,mib->mab", L, L)
-        WR = onp.einsum("mia,mib->mab", R, R)
-        Q00 = onp.einsum("mia,mij,mjb->mab", L, Qseg[:, :phi, :phi], L)
-        Q11 = onp.einsum("mia,mij,mjb->mab", R, Qseg[:, phi:, phi:], R)
-        Q01 = onp.einsum("mia,mij,mjb->mab", L, Qseg[:, :phi, phi:], R)
-        Hd = c_s * (Q00[1:M] + Q11[0:M - 1])
-        NtN_k = WL[1:M] + WR[0:M - 1]
-        Ho = c_s * Q01[1:M - 1]
-        bs = B3 * phi
-        sigI = s.sigma * onp.eye(phi)
-        Hds = Hd + sigI                     # [Mi, phi, phi]
-        C1, C0 = C[1:M], C[0:M - 1]         # [Mi, B3, B3]
-        WL1, WR0 = WL[1:M], WR[0:M - 1]     # [Mi, phi, phi]
-        diag_idx = onp.arange(B3)
-
-        def make_Kd(k, rho):
-            # kron(C1, WL1) + kron(C0, WR0) scaled by rho, plus the
-            # block-diagonal kron(I, Hd+sigI+rho*NtN) — formed per
-            # (rung, knot) as one [bs, bs] transient.  Replaces the
-            # materialized [Mi, bs, bs] base_d/rho_d Kronecker
-            # operands (3.7 s + ~190 MB at 64 agents, multi-GB at 256)
-            K4 = C1[k][:, None, :, None] * (rho * WL1[k])[None, :,
-                                                          None, :]
-            K4 += C0[k][:, None, :, None] * (rho * WR0[k])[None, :,
-                                                           None, :]
-            K4[diag_idx, :, diag_idx, :] += Hds[k] + rho * NtN_k[k]
-            return K4.reshape(bs, bs)
+        make_Kd, Ho, bs = _banded_kd_builder_np(Qseg, L, R, C, c_s,
+                                                s.sigma)
 
         # pivot inventory stored directly in the problem dtype (the
         # chain itself stays f64): at 256 agents the f64 inventory is

@@ -53,6 +53,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -125,7 +126,11 @@ def _specs(data: QPData, op: NSOp, axis: str, mode: str = "chunk"):
         pair_rhs=P(axis), pair_mask=P(axis), pair_qi=P(axis),
         pair_qj=P(axis), pair_rsum=P(axis))
     ospec = jax.tree.map(lambda _: P(), op)
-    if mode == "chunk":
+    if mode == "spike":
+        # SpikeOp: per-chunk interior chains sharded on the chunk dim,
+        # separator Schur chain replicated (tiny)
+        ospec = ospec._replace(Dloc=P(None, axis))
+    elif mode == "chunk":
         ospec = ospec._replace(Dinvs=P(None, axis))
     else:
         ospec = ospec._replace(Dinvs=P(None, None, axis))
@@ -140,6 +145,10 @@ def _iterate_ns_sharded(data: QPData, op: NSOp, s: NSSettings, axis: str,
     Mirrors nullspace._iterate_ns incl. kkt_refine PCG (fresh-K applies
     ride the sharded A/A^T); no AA / fused paths — asserted by the
     entry."""
+    sop = None
+    if mode == "spike":
+        sop = op
+        op = sop.base
     B, K3, D = data.lb.shape
     dt_ = data.lb.dtype
     M = op.F0.shape[0]
@@ -333,7 +342,104 @@ def _iterate_ns_sharded(data: QPData, op: NSOp, s: NSSettings, axis: str,
         x = x[:Mi, :bs].reshape(Mi, B, K3, phi).transpose(1, 2, 0, 3)
         return x.reshape(rhs.shape)
 
+    def kinv_apply_spike(rho_idx, rhs):
+        # SPIKE substructuring (module footer): two PARALLEL local
+        # chunk solves + a replicated (n-1)-step separator Schur chain;
+        # collectives per apply: 1 tip all_gather + 1 solution
+        # all_gather — and NO cross-device serialization
+        Lq = sop.Dloc.shape[2]
+        Dl = sop.Dloc[rho_idx][0]            # local [Lq, bs, bs]
+        Ss = sop.Ssch[rho_idx]               # [n-1, bs, bs] replicated
+        So = sop.Soff[rho_idx]               # [n-2|1, bs, bs]
+        Ho0 = op.Kos[0]
+        idx = jax.lax.axis_index(axis)
+        Mp = n * Lq + (n - 1)
+
+        b = rhs.reshape(B, K3, Mi, phi).transpose(2, 0, 1, 3)
+        b = b.reshape(Mi, bs)
+        b_full = jnp.zeros((Mp, bs), dt_).at[:Mi].set(b)
+        b_loc = jax.lax.dynamic_slice_in_dim(b_full, idx * (Lq + 1), Lq)
+        sep_rows = (jnp.arange(n - 1) * (Lq + 1)) + Lq
+        b_sep = b_full[sep_rows]             # [n-1, bs] replicated
+
+        def local_solve(b_l):
+            def f(y_prev, inp):
+                b_k, Dprev = inp
+                return (lambda y: (y, y))(
+                    b_k - koT(Ho0, Dprev @ y_prev))
+
+            _, ys = jax.lax.scan(f, b_l[0], (b_l[1:], Dl[:-1]),
+                                 unroll=2)
+            ys = jnp.concatenate([b_l[:1], ys], axis=0)
+            x_last = Dl[-1] @ ys[-1]
+
+            def gstep(x_next, inp):
+                y_k, Dk = inp
+                x_k = Dk @ (y_k - ko(Ho0, x_next))
+                return x_k, x_k
+
+            _, xs = jax.lax.scan(gstep, x_last, (ys[:-1], Dl[:-1]),
+                                 reverse=True, unroll=2)
+            return jnp.concatenate([xs, x_last[None]], axis=0)
+
+        u = local_solve(b_loc)               # [Lq, bs]
+        tips = jnp.stack([u[0], u[-1]])      # [2, bs]
+        tips_all = jax.lax.all_gather(tips, axis)   # [n, 2, bs]
+        uF, uL = tips_all[:, 0], tips_all[:, 1]     # [n, bs]
+
+        # separator rhs: r_j = b_sep_j - Lo uL_j - Up uF_{j+1}
+        r_sep = (b_sep
+                 - jax.vmap(lambda v: koT(Ho0, v))(uL[:n - 1])
+                 - jax.vmap(lambda v: ko(Ho0, v))(uF[1:]))
+
+        def sfwd(y_prev, inp):
+            r_j, So_prev, Ss_prev = inp
+            y_j = r_j - So_prev.T @ (Ss_prev @ y_prev)
+            return y_j, y_j
+
+        if n > 2:
+            _, ys_s = jax.lax.scan(sfwd, r_sep[0],
+                                   (r_sep[1:], So[:n - 2], Ss[:n - 2]))
+            y_s = jnp.concatenate([r_sep[:1], ys_s], axis=0)
+        else:
+            y_s = r_sep
+        x_last_s = Ss[-1] @ y_s[-1]
+
+        def sbwd(x_next, inp):
+            y_j, So_j, Ss_j = inp
+            x_j = Ss_j @ (y_j - So_j @ x_next)
+            return x_j, x_j
+
+        if n > 2:
+            _, xs_s = jax.lax.scan(sbwd, x_last_s,
+                                   (y_s[:-1], So[:n - 2], Ss[:n - 2]),
+                                   reverse=True)
+            x_sep = jnp.concatenate([xs_s, x_last_s[None]], axis=0)
+        else:
+            x_sep = x_last_s[None]           # [n-1, bs]
+
+        # correction solve: boundary rhs from the separator values
+        zrow_ = jnp.zeros(bs, dt_)
+        xs_left = jnp.where(idx > 0,
+                            x_sep[jnp.clip(idx - 1, 0, n - 2)], zrow_)
+        xs_right = jnp.where(idx < n - 1,
+                             x_sep[jnp.clip(idx, 0, n - 2)], zrow_)
+        corr = jnp.zeros((Lq, bs), dt_)
+        corr = corr.at[0].add(koT(Ho0, xs_left))
+        corr = corr.at[Lq - 1].add(ko(Ho0, xs_right))
+        x_loc = u - local_solve(corr)
+
+        x_chunks = jax.lax.all_gather(x_loc, axis)   # [n, Lq, bs]
+        x_full = jnp.zeros((Mp, bs), dt_)
+        rows = (jnp.arange(n)[:, None] * (Lq + 1)
+                + jnp.arange(Lq)[None, :]).reshape(-1)
+        x_full = x_full.at[rows].set(x_chunks.reshape(n * Lq, bs))
+        x_full = x_full.at[sep_rows].set(x_sep)
+        x = x_full[:Mi].reshape(Mi, B, K3, phi).transpose(1, 2, 0, 3)
+        return x.reshape(rhs.shape)
+
     kinv_apply = (kinv_apply_chunk if mode == "chunk"
+                  else kinv_apply_spike if mode == "spike"
                   else kinv_apply_blockrow)
 
     if init is None:
@@ -475,6 +581,11 @@ def _check_phases(phases, mode: str):
         if p.thomas_kernel and mode != "chunk":
             raise ValueError("thomas_kernel phases shard in mode='chunk' "
                              "only (blockrow splits inside the matvec)")
+        if p.kkt_refine and mode == "spike":
+            # kkt_refine composes mathematically (the preconditioner is
+            # just the spike apply) but is untested in this mode
+            raise ValueError("mode='spike' does not support kkt_refine "
+                             "phases yet")
         if p.kkt_mode != "banded":
             raise ValueError("sharded joint solve requires kkt_mode="
                              "'banded' (knot-chunk / block-row sharding)")
@@ -567,9 +678,21 @@ def solve_ns_phases_sharded(data: QPData, phases, op: NSOp, mesh,
     program is cached per (mesh, axis, phases, mode).
     """
     _check_phases(phases, mode)
-    if mode not in ("chunk", "blockrow"):
+    if mode not in ("chunk", "blockrow", "spike"):
         raise ValueError(f"unknown shard mode {mode!r}")
     n = mesh.shape[axis]
+    if mode == "spike":
+        if not isinstance(op, SpikeOp):
+            raise ValueError("mode='spike' needs an operator prepared "
+                             "with prepare_spike_np(data, s, n)")
+        if int(op.Dloc.shape[1]) != n:
+            raise ValueError(
+                f"SPIKE operator was prepared for "
+                f"{int(op.Dloc.shape[1])} chunks, mesh axis has {n}")
+        d_dev, o_dev = place(data, op, mesh, axis, mode)
+        dspec, ospec = _specs(d_dev, o_dev, axis, mode)
+        return _jitted(mesh, axis, tuple(phases), dspec, ospec, mode,
+                       interpret)(d_dev, o_dev)
     bsp = int(op.Dinvs.shape[-1])
     bs_true = (int(np.prod(np.asarray(data.lb).shape[:2]))
                * int(op.F0.shape[1]))
@@ -594,3 +717,160 @@ def solve_ns_phases_sharded(data: QPData, phases, op: NSOp, mesh,
     dspec, ospec = _specs(d_dev, o_dev, axis, mode)
     return _jitted(mesh, axis, tuple(phases), dspec, ospec, mode,
                    interpret)(d_dev, o_dev)
+
+
+# ======================================================================
+# SPIKE-style substructuring (round-5): a PARALLEL decomposition of the
+# banded Thomas solve — vs the chunk pipeline's sequential
+# device-to-device chain.
+#
+# The knot axis is split into n interior chunks SEPARATED by single
+# separator knots.  Each device owns one chunk and factors/solves it
+# INDEPENDENTLY (no incoming carry — the round-4 chunk pipeline's
+# critical path is gone); the n-1 separator unknowns satisfy a small
+# block-tridiagonal Schur system whose per-rung factorization is
+# precomputed at prep, exactly like the main pivot inventory.  Per
+# apply:
+#
+#   1. local interior solve      (parallel; streams Dloc_c once fwd+bwd)
+#   2. one all_gather of 2 [bs] tip rows per device
+#   3. replicated separator Schur chain (n-1 tiny sequential steps)
+#   4. local CORRECTION solve against the separator values (parallel)
+#   5. one tiled all_gather of the solution chunks
+#
+# Cost model vs the chunk pipeline: ~2x the block-apply FLOPs/stream
+# (two local solves instead of one) for n-way parallelism of the chain
+# — the classic SPIKE trade (Polizzi & Sameh).  The single-chip
+# cyclic-reduction rejection (ARCHITECTURE.md) does NOT apply here:
+# across devices the aggregate VPU+DMA bandwidth is n x.
+# ======================================================================
+
+
+class SpikeOp(NamedTuple):
+    # every field is a pytree leaf (shard_map specs / device_put): the
+    # chunk length Lq and chunk count n are DERIVED (Dloc.shape)
+    base: NSOp            # shared leaves (N, x_pin, g, ..., Kos); Dinvs None
+    Dloc: object          # [R, n, Lq, bs, bs] per-chunk interior chains
+    Ssch: object          # [R, n-1, bs, bs] separator Schur pivots
+    Soff: object          # [R, max(n-2, 1), bs, bs] S_{j, j+1} blocks
+
+
+def prepare_spike_np(data: QPData, s: NSSettings, n: int) -> SpikeOp:
+    """Host-f64 SPIKE prep: per-chunk interior Schur chains + the
+    separator Schur system's own chain, per rung.  Requires uniform
+    segment durations (constant off-diagonal Ho).  Total pivot memory
+    equals the plain inventory (the chunks repartition it); the
+    separator chain adds (n-1)/Mi more."""
+    import numpy as onp
+    from concurrent.futures import ThreadPoolExecutor
+
+    from .nullspace import (_banded_kd_builder_np, _blas_single_threaded,
+                            _host_prep_ctx_np, _inv_spd_np)
+
+    ctx = _host_prep_ctx_np(data, s)
+    Qseg, phi, B3, dt_ = (ctx["Qseg"], ctx["phi"], ctx["B3"],
+                          ctx["dt_"])
+    Mi, ladder, C, c_s = ctx["Mi"], ctx["ladder"], ctx["C"], ctx["c_s"]
+    make_Kd, Ho, bs = _banded_kd_builder_np(Qseg, ctx["L"], ctx["R"],
+                                            C, c_s, s.sigma)
+    if Mi > 1 and not onp.allclose(Ho, Ho[:1], atol=1e-12):
+        raise ValueError("SPIKE substructuring requires uniform segment "
+                         "durations (constant off-diagonal Ho)")
+    if Mi < 2 * n:
+        raise ValueError(f"SPIKE needs Mi >= 2n (Mi={Mi}, n={n})")
+    Up = onp.kron(onp.eye(B3), Ho[0])          # [bs, bs]; Lo = Up.T
+    Lq = -(-(Mi - (n - 1)) // n)
+    Mp = n * Lq + (n - 1)
+
+    def gpos(c, i):
+        return c * (Lq + 1) + i
+
+    def sep_pos(j):
+        return j * (Lq + 1) + Lq
+
+    R_ = len(ladder)
+    Dloc = onp.zeros((R_, n, Lq, bs, bs), dtype=dt_)
+    Ssch = onp.zeros((R_, n - 1, bs, bs), dtype=dt_)
+    Soff = onp.zeros((R_, max(n - 2, 1), bs, bs), dtype=dt_)
+
+    def fill_rung(r):
+        rho = ladder[r]
+        corners = []                 # per chunk: (VF, WF, WL)
+        for c in range(n):
+            # interior chain (restarted Schur recursion; pad knots stay 0)
+            Dc = [None] * Lq
+            prev = None
+            for i in range(Lq):
+                g = gpos(c, i)
+                if g >= Mi:
+                    break
+                Kd = make_Kd(g, rho)
+                if prev is not None:
+                    Kd = Kd - Up.T @ prev @ Up
+                prev = _inv_spd_np(Kd)
+                Dc[i] = prev
+                Dloc[r, c, i] = prev
+            Lr = sum(d is not None for d in Dc)    # real knots in chunk
+            if Lr == 0:
+                corners.append((onp.zeros((bs, bs)),) * 3)
+                continue
+            Dc = Dc[:Lr]
+            # corner blocks of A_c^-1 via block solves with E_first /
+            # E_last RHS on the chain: VF = (A^-1)_FF, WF = (A^-1)_FL,
+            # WL = (A^-1)_LL
+            #  E_last: fwd leaves Y = e_last -> X_last = D_last;
+            #          bwd cascade to row 0
+            X = Dc[-1]
+            WL = X
+            for i in range(Lr - 2, -1, -1):
+                X = Dc[i] @ (-(Up @ X))
+            WF = X
+            #  E_first: fwd cascade Y_i = (-Up^T D_{i-1}) Y_{i-1};
+            #          bwd from X_last back to row 0
+            Ys = [onp.eye(bs)]
+            for i in range(1, Lr):
+                Ys.append(-(Up.T @ (Dc[i - 1] @ Ys[-1])))
+            X = Dc[-1] @ Ys[-1]
+            for i in range(Lr - 2, -1, -1):
+                X = Dc[i] @ (Ys[i] - Up @ X)
+            VF = X
+            corners.append((VF, WF, WL))
+
+        # separator Schur system (block tridiagonal over j)
+        Sdiag = []
+        for j in range(n - 1):
+            p = sep_pos(j)
+            if p >= Mi:
+                Sdiag.append(None)
+                continue
+            VF_r, _, _ = corners[j + 1]
+            _, _, WL_l = corners[j]
+            Sjj = make_Kd(p, rho) - Up.T @ WL_l @ Up - Up @ VF_r @ Up.T
+            Sdiag.append(Sjj)
+            if j < n - 2:
+                _, WF_r, _ = corners[j + 1]
+                Soff[r, j] = -(Up @ WF_r @ Up)
+        prev = None
+        for j in range(n - 1):
+            if Sdiag[j] is None:
+                continue
+            Sjj = Sdiag[j]
+            if prev is not None:
+                So = Soff[r, j - 1].astype(onp.float64)
+                Sjj = Sjj - So.T @ prev @ So
+            prev = _inv_spd_np(Sjj)
+            Ssch[r, j] = prev
+
+    with _blas_single_threaded():
+        workers = min(R_, max(1, (ctx["n_workers"])))
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            list(ex.map(fill_rung, range(R_)))
+
+    cast = dict(N=ctx["N"], x_pin=ctx["x_pin"], g=ctx["g"],
+                F0=ctx["F0"], FT=ctx["FT"], c_s=ctx["c_s"],
+                ladder=ladder)
+    cast = {k: onp.asarray(v).astype(dt_, copy=False)
+            for k, v in cast.items()}
+    base = NSOp(Kinvs=None, Dinvs=None, Kos=Ho.astype(dt_, copy=False),
+                **cast)
+    return SpikeOp(base=base, Dloc=Dloc, Ssch=Ssch, Soff=Soff)

@@ -180,3 +180,45 @@ def test_sharded_rejects_unshardable():
     with pytest.raises(ValueError, match="lane-padded"):
         nullspace_shard.solve_ns_phases_sharded(data, thomas, op, mesh,
                                                 mode="chunk")
+
+
+def test_spike_matches_single_device():
+    """Round-5 SPIKE substructuring: the PARALLEL decomposition of the
+    banded Thomas solve (independent per-chunk solves + separator Schur
+    chain) must match the single-device path to f32 reduction
+    tolerance, on both an exactly-partitioned knot axis (Mi = 15, n=4,
+    Lq=3) and a zero-padded one (Mi = 7, n=3, Lq=2, 1 pad knot)."""
+    for (M, nmesh) in ((16, 4), (8, 3)):
+        data, _ = _data(n_agents=8, M=M)
+        data = _f32(data)
+        phases = _phases()
+        op = nullspace.prepare_ns_np(data, phases[0])
+        x_ref, info_ref = nullspace.solve_ns_phases(
+            jax.tree.map(jnp.asarray, data), phases,
+            op=jax.device_put(op))
+        x_ref = np.asarray(x_ref, np.float64)
+
+        sop = nullspace_shard.prepare_spike_np(data, phases[0], nmesh)
+        mesh = _mesh(nmesh)
+        x_sh, info_sh = nullspace_shard.solve_ns_phases_sharded(
+            data, phases, sop, mesh, mode="spike")
+        x_sh = np.asarray(x_sh, np.float64)
+        assert int(info_sh.iters) == int(info_ref.iters), (
+            M, nmesh, int(info_sh.iters), int(info_ref.iters))
+        scale = max(1.0, np.abs(x_ref).max())
+        err = np.abs(x_ref - x_sh).max() / scale
+        assert err < 5e-5, (M, nmesh, err)
+
+
+def test_spike_prep_guards():
+    import pytest
+
+    data, _ = _data(n_agents=4, M=5)       # Mi = 4
+    data = _f32(data)
+    phases = _phases((50,))
+    with pytest.raises(ValueError, match="Mi >= 2n"):
+        nullspace_shard.prepare_spike_np(data, phases[0], 4)
+    sop = nullspace_shard.prepare_spike_np(data, phases[0], 2)
+    with pytest.raises(ValueError, match="prepared for"):
+        nullspace_shard.solve_ns_phases_sharded(
+            data, phases, sop, _mesh(4), mode="spike")

@@ -30,7 +30,9 @@ import time
 
 import numpy as np
 
-ORACLE_BATCHES = (0, 17, 34, 51)       # of 64 4-agent batches
+#: round-5 (VERDICT r4 weak #4): widened 4 -> 8 rotating batches
+#: (32 of 256 agents covered by the rotation)
+ORACLE_BATCHES = (0, 9, 17, 26, 34, 43, 51, 60)   # of 64 batches
 
 
 def log(*a):

@@ -49,19 +49,23 @@ import time
 
 import numpy as np
 
-ARMS = (("state", (50, 200, 50), 0),
-        ("state", (0, 250, 50), 0),
-        ("x0", (50, 200, 50), 0),
-        ("x0", (0, 250, 50), 0))
+ARMS = (("state", (50, 200, 50), 0, 0),
+        ("state", (0, 250, 50), 0, 0),
+        ("x0", (50, 200, 50), 0, 0),
+        ("x0", (0, 250, 50), 0, 0))
 
 
 def parse_arms(spec: str):
-    """"state:50,200,50:0;x0:0,250,50:1" -> ARMS tuples."""
+    """"state:50,200,50:0[:polish];x0:0,250,50:1" -> ARMS tuples.  The
+    optional 4th field runs K warm polish extensions (ESCALATION_
+    BUDGETS on the round's own operator) after each round's solve."""
     arms = []
     for part in spec.split(";"):
-        warm, budgets, refine = part.split(":")
+        f = part.split(":")
+        warm, budgets, refine = f[0], f[1], f[2]
+        polish = int(f[3]) if len(f) > 3 else 0
         arms.append((warm, tuple(int(b) for b in budgets.split(",")),
-                     int(refine)))
+                     int(refine), polish))
     return tuple(arms)
 
 
@@ -107,7 +111,8 @@ def main():
     from swarm_simulator_tpu.world.voxel import OccupancyGrid
 
     N = args.agents
-    batches = (0, 17, 34, 51) if N >= 256 else (0,)
+    # round-5: 8 rotating oracle batches (was 4) — 32/256 agents
+    batches = (0, 9, 17, 26, 34, 43, 51, 60) if N >= 256 else (0,)
     mission = scatter_mission(N, half=9.5, z=1.0, seed=7)
     param = sst.Param(world_x_min=-10, world_x_max=10, world_y_min=-10,
                       world_y_max=10, world_z_min=0.3, world_z_max=2.5,
@@ -180,14 +185,18 @@ def main():
 
     # ---- per-arm replan chains ---------------------------------------
     arm_rows = []
-    for warm, budgets, refine in arms:
+    for warm, budgets, refine, round_polish in arms:
         rph = qjoint.production_phases(budgets, base=thomas[1],
                                        kkt_refine=refine)
+        pol_rph = qjoint.escalation_phases(rph)
         prep_jit = jax.jit(lambda d, ph=rph: nullspace.prepare_ns(d, ph[0]))
         solve_w = jax.jit(lambda d, o, st, ph=rph: nullspace.solve_ns_phases(
             d, ph, op=o, init=st, return_state=True))
         solve_x0 = jax.jit(lambda d, o, ph=rph: nullspace.solve_ns_phases(
             d, ph, op=o, return_state=True))
+        solve_rp = jax.jit(
+            lambda d, o, ph=pol_rph: nullspace.solve_ns_phases(
+                d, ph, op=o, return_state=True))
         ctrl = ctrl0
         state = state0
         rounds = []
@@ -208,9 +217,18 @@ def main():
             else:
                 xj, info, state = solve_x0(dr_dev, op_r)
             x = np.asarray(xj, np.float64)
+            for _ in range(round_polish):
+                # warm polish extension on the round's own operator:
+                # x0 <- the round's solution, ESCALATION_BUDGETS
+                dr_dev = dataclasses.replace(
+                    dr_dev, x0=jnp.asarray(x, jnp.float32))
+                xj, info, state = solve_rp(dr_dev, op_r)
+                x = np.asarray(xj, np.float64)
             cyc = time.perf_counter() - t0
             ctrl = convert.x_to_ctrl(x, M, n)
-            tag = f"{warm} {budgets} refine={refine} round {r + 1}"
+            tag = (f"{warm} {budgets} refine={refine}"
+                   + (f" polish={round_polish}" if round_polish else "")
+                   + f" round {r + 1}")
             ok, m, margins, worst = measure(ctrl, tag)
             obj = float(np.asarray(info.obj))
             log(f"{tag}: cycle {cyc:.2f}s obj={obj:.3f} "
@@ -248,7 +266,8 @@ def main():
                 worst_margin=worst))
             op_f = None
         arm_rows.append(dict(warm=warm, budgets=list(budgets),
-                             kkt_refine=refine, rounds=rounds))
+                             kkt_refine=refine,
+                             round_polish=round_polish, rounds=rounds))
         plan.pair_normals = normals0_backup    # reset for the next arm
 
     # licensed: cheapest WARM-timed arm whose FIRST round passes gate +
@@ -261,6 +280,7 @@ def main():
         if r1["gate_ok"] and r1["worst_margin"] <= 1.25:
             cand = dict(warm=a["warm"], budgets=a["budgets"],
                         kkt_refine=a["kkt_refine"],
+                        round_polish=a.get("round_polish", 0),
                         cycle_s=warm_cycle,
                         worst_margin=r1["worst_margin"])
             if licensed is None or cand["cycle_s"] < licensed["cycle_s"]:

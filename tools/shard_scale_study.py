@@ -42,7 +42,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--full256", action="store_true")
     ap.add_argument("--mode", default="chunk",
-                    choices=["chunk", "blockrow"])
+                    choices=["chunk", "blockrow", "spike"])
     ap.add_argument("--out", default="benchmarks/shard_scale_cpu.json")
     args = ap.parse_args()
 
@@ -76,8 +76,18 @@ def main():
     for n in (1, 2, 4, 8):
         if n > len(jax.devices()):
             break
+        if args.mode == "spike" and n == 1:
+            continue               # substructuring needs >= 2 chunks
         mesh = Mesh(np.array(jax.devices()[:n]), ("kkt",))
-        d_dev, o_dev = nullspace_shard.place(data, op, mesh,
+        if args.mode == "spike":
+            # the SPIKE operator is n-specific (per-chunk chains +
+            # separator Schur system)
+            t0 = time.perf_counter()
+            op_n = nullspace_shard.prepare_spike_np(data, phases[0], n)
+            log(f"spike prep n={n}: {time.perf_counter() - t0:.1f}s")
+        else:
+            op_n = op
+        d_dev, o_dev = nullspace_shard.place(data, op_n, mesh,
                                              mode=args.mode)
         t0 = time.perf_counter()
         x, info = nullspace_shard.solve_ns_phases_sharded(
@@ -99,6 +109,11 @@ def main():
                    solve_warm_s=round(min(times), 2),
                    solve_first_s=round(first_s, 2),
                    inv_mb_per_device=round(inv_bytes / n / 1e6, 1))
+        if args.mode == "spike":
+            row["spike_inv_mb_per_device"] = round(
+                (np.asarray(o_dev.Dloc).nbytes / n
+                 + np.asarray(o_dev.Ssch).nbytes
+                 + np.asarray(o_dev.Soff).nbytes) / 1e6, 1)
         log(row)
         out["curve64"].append(row)
 
