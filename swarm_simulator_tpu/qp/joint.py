@@ -76,16 +76,29 @@ def polish_rounds_for_swarm(qn: int) -> int:
 
 
 #: short per-round replan budgets for big swarms (>= 128 agents),
-#: EXPLICIT OPT-IN ONLY: measured against the rotating IPM
-#: best-response oracle across a corridor-refresh chain
-#: (benchmarks/replan256_oracle_tpu.json, replan256_chain_tpu.json)
-#: every short round's worst margin stayed 1.8-3.9 — above the 1.25
-#: licensing bar (both artifacts record licensed: null) — so the
-#: production default for large-swarm replans remains the FULL phase
-#: budgets; callers trading objective margin for the measured
-#: ~8.3 s/round latency opt in via replan_budgets=REPLAN_BUDGETS_LARGE
-#: (which then forces kkt_refine >= 1, the best-measured short arm).
-REPLAN_BUDGETS_LARGE = (50, 200, 50)
+#: EXPLICIT OPT-IN ONLY (the production default remains the FULL
+#: phase budgets).  Round-5 re-measured the budget/margin frontier on
+#: the v5e with an 8-batch rotating oracle
+#: (benchmarks/replan256_chain_tpu.json): per-round worst margin is a
+#: pure function of the iteration budget — 300 iters -> 3.50, 600 ->
+#: 1.80, 800 CONTIGUOUS -> 1.37 (round 1), while 300 + a 600-iter
+#: polish extension lands WORSE (1.67; the split restarts the
+#: feasibility phases) — so the short schedule is the best contiguous
+#: point (100, 600, 100) at ~14.8 s/round warm, replacing round-4's
+#: (50, 200, 50)/8.3 s whose margins were 1.8-3.9.  No arm met the
+#: 1.25 licensing bar; benchmarks/oracle256_anchor.json calibrates
+#: how much of the residual margin is looseness of the best-response
+#: BOUND itself (a rotating 4-agent best-response optimum is a lower
+#: bound the exact joint optimum also cannot reach).
+REPLAN_BUDGETS_LARGE = (100, 600, 100)
+
+#: per-round warm polish extensions when the short large-swarm replan
+#: schedule is chosen (solve_trajectories replan_polish auto).
+#: Round-5 measured SPLIT budgets strictly worse than the same budget
+#: spent contiguously (chain arms 300+600-polish = 1.67 vs 800
+#: contiguous = 1.37), so the auto default is 0; the mechanism stays
+#: for callers escalating a specific round on a margin estimate.
+REPLAN_POLISH_LARGE = 0
 
 
 def escalation_phases(base_phases) -> tuple:
@@ -315,6 +328,7 @@ def _run_schedule(data_dev, op_dev, phases):
 def solve_trajectories(plan: PlanResult, mission: Mission, param: Param,
                        phases: tuple[nullspace.NSSettings, ...] | None = None,
                        replan_budgets: tuple[int, int, int] | None = None,
+                       replan_polish: int | None = None,
                        replan_prep: str | None = None,
                        cold_prep: str = "host",
                        dummy: np.ndarray | None = None,
@@ -449,14 +463,16 @@ def solve_trajectories(plan: PlanResult, mission: Mission, param: Param,
     if param.iteration > 1:
         # replan phases compile once and are reused across rounds.
         # DEFAULT = the cold phases' FULL budgets at every swarm size:
-        # the short large-swarm schedule (REPLAN_BUDGETS_LARGE, 8.3
-        # s/round) stayed 1.8-3.9x above the rotating best-response
-        # oracle in every measured arm (benchmarks/
-        # replan256_oracle_tpu.json licensed: null), so it is explicit
-        # opt-in via replan_budgets — and then forced to kkt_refine>=1,
-        # its best-measured configuration (worst margin 3.3 vs 3.9
-        # refine-0).  State-warm (carrying ADMM duals) measured
-        # indistinguishable from x0-warm under refine-1.
+        # the round-5 budget/margin frontier (benchmarks/
+        # replan256_chain_tpu.json) shows per-round oracle margin is a
+        # pure function of iteration budget (300 -> 3.5, 800 -> 1.37),
+        # no short arm met the 1.25 licensing bar, so short schedules
+        # are explicit opt-in via replan_budgets (best contiguous
+        # point: REPLAN_BUDGETS_LARGE) — and then forced to
+        # kkt_refine>=1 at >= 128 agents (refine-1 recovers host-prep
+        # quality exactly; precision_probe_cpu.json).  State-warm
+        # (carrying ADMM duals) measured indistinguishable from
+        # x0-warm under refine-1.
         rb = (replan_budgets if replan_budgets is not None
               else tuple(s.max_iter for s in phases))
         short = (replan_budgets is not None
@@ -467,6 +483,17 @@ def solve_trajectories(plan: PlanResult, mission: Mission, param: Param,
                              or (short and mission.qn >= 128)) else 0)
         prep_jit = (jax.jit(lambda d: nullspace.prepare_ns(d, rphases[0]))
                     if replan_prep == "device" else None)
+        # per-round warm polish extensions (round-5): the controlled
+        # probe (benchmarks/precision_probe_cpu.json) showed replan
+        # margin is ITERATION-BUDGET-limited, not precision-limited —
+        # polish extensions on the round's own operator are how a
+        # short round reaches the licensed margin (see
+        # REPLAN_BUDGETS_LARGE / replan256_chain_tpu.json)
+        rp_polish = (replan_polish
+                     if replan_polish is not None
+                     else (REPLAN_POLISH_LARGE
+                           if mission.qn >= 128 and short else 0))
+        rpol_phases = escalation_phases(rphases) if rp_polish else None
         for _ in range(param.iteration - 1):
             knots = np.concatenate(
                 [ctrl[:, :, 0, :], ctrl[:, -1:, -1, :]], axis=1)
@@ -506,6 +533,13 @@ def solve_trajectories(plan: PlanResult, mission: Mission, param: Param,
                 op_dev = None          # see replan_prep="device" note
                 op_dev = jax.device_put(op)
             ctrl, info = run(data, op_dev, rphases)
+            for _ in range(rp_polish):
+                # x0 <- the round's solution; same round operator
+                data = dataclasses.replace(
+                    data, x0=np.asarray(
+                        ctrl.reshape(N, M * (n + 1), 3).transpose(
+                            0, 2, 1), np.float32))
+                ctrl, info = run(data, op_dev, rpol_phases)
             replan_rounds += 1
 
     plan.ctrl = ctrl

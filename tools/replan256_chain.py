@@ -28,12 +28,20 @@ PROBE RESULT (tools/refresh_feas_probe.py, 16 agents): the flown
 solution is EXACTLY feasible under the refreshed (A, l, u) — the
 refresh does not tighten the set — and a bare f32-device-prep solve
 WITHOUT kkt_refine stalls at r_dual ~4e-2 with a ~100x objective
-blow-up ON THE ORIGINAL PROBLEM TOO.  The replan margin failures were
-the known f32-rung-inverse quality wall (ARCHITECTURE.md "host-f64
-operator preparation"), not a refresh property: replan arms MUST use
-kkt_refine >= 1 (the production replan_prep="device" recipe) for their
-margins to mean anything.  refine=1 at 16 agents: margins 30-50x ->
-1.9-2.3 (noise-amplified at obj ~0.01), objective preserved.
+blow-up ON THE ORIGINAL PROBLEM TOO, so replan arms MUST use
+kkt_refine >= 1 (the production replan_prep="device" recipe).
+
+ROUND-5 CONTROLLED PROBE (tools/precision_probe.py, 64 agents,
+refreshed corridors, benchmarks/precision_probe_cpu.json): with
+refine >= 1 in place, the round-4 "f32 rung-inverse precision wall"
+attribution is REFUTED — at equal short budgets, f64 END-TO-END
+(data + prep + iteration) lands at the same margin as f32
+(1.331 vs 1.331), device-f32 prep + refine-1 matches host-f64 prep
+(1.333 vs 1.331), and refine-3 buys nothing over refine-1 (1.330).
+The wall is ITERATION BUDGET on the refreshed problem: 300-iter arms
+sit at 1.33, 900-iter arms (full budgets, or short + one polish
+extension) reach 1.04-1.12 in every dtype/prep combination.  Hence
+the round-5 arms scan the budget/schedule frontier, not precision.
 
 Writes benchmarks/replan256_chain_tpu.json.
 Usage: python tools/replan256_chain.py [--cpu --agents 16 --rounds 1]
