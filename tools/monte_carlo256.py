@@ -126,14 +126,22 @@ def main():
             search_s=round(t_search, 2), corridor_s=round(t_corr, 2),
             prep_s=round(prep_s, 2),
             solve_s=round(t_cycle - prep_s, 2),
+            polish_rounds=plan.solver_info["polish_rounds"],
             iters=plan.solver_info["iters"]))
 
     wall = time.perf_counter() - wall0
     n_ok = sum(r["gate_ok"] for r in rows)
-    # compile cost = first-scenario excess over the per-bucket warm cost
+    # per-scenario compile attribution (round-5, VERDICT r4 weak #5 —
+    # the seed-100 9x outlier was a hidden first-in-bucket compile):
+    # compile_est_s per ROW = that scenario's excess over its bucket's
+    # WARM (min) cost; only first-in-bucket rows carry a material one
     by_m = {}
     for r in rows:
         by_m.setdefault(r["M"], []).append(r["prep_s"] + r["solve_s"])
+    for r in rows:
+        warm = min(by_m[r["M"]])
+        r["compile_est_s"] = round(max(0.0, r["prep_s"] + r["solve_s"]
+                                       - warm), 1)
     compile_s = sum(v[0] - min(v) for v in by_m.values() if len(v) > 1)
     out = dict(
         agents=N, scenarios=len(rows), gates_ok=n_ok,
