@@ -82,6 +82,14 @@ def build_argparser() -> argparse.ArgumentParser:
                         "cold solve (objective-margin escalation for "
                         "big swarms; default auto = 4 for >= 128 "
                         "agents, 0 below; see qp/joint.py)")
+    p.add_argument("--replan-budgets", default=None,
+                   help="per-round replan phase budgets 'a,b,c' "
+                        "(default: the cold phases' full budgets; "
+                        "short schedules are opt-in — see "
+                        "qp/joint.REPLAN_BUDGETS_LARGE)")
+    p.add_argument("--replan-polish", type=int, default=None,
+                   help="warm polish extensions per replan round "
+                        "(default auto)")
     p.add_argument("--replan-prep",
                    choices=["auto", "fresh", "device", "stale"],
                    default="auto",
@@ -149,6 +157,10 @@ def main(argv=None) -> int:
             corridor_mode="flat" if args.flat else pp.param.corridor_mode,
             cold_prep=args.cold_prep,
             polish_rounds=args.polish_rounds,
+            replan_budgets=(tuple(int(b) for b in
+                                  args.replan_budgets.split(","))
+                            if args.replan_budgets else None),
+            replan_polish=args.replan_polish,
             replan_prep=(None if args.replan_prep == "auto"
                          else args.replan_prep),
             **over)
@@ -170,6 +182,10 @@ def main(argv=None) -> int:
         solver_dtype=args.dtype, solver_max_iter=args.max_iter,
         cold_prep=args.cold_prep,
         polish_rounds=args.polish_rounds,
+        replan_budgets=(tuple(int(b) for b in
+                              args.replan_budgets.split(","))
+                        if args.replan_budgets else None),
+        replan_polish=args.replan_polish,
         replan_prep=(None if args.replan_prep == "auto"
                      else args.replan_prep),
         log=args.log,

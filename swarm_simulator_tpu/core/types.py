@@ -101,6 +101,16 @@ class Param:
     #              CPU) | "fresh" | "device" | "stale"
     cold_prep: str = "host"
     replan_prep: Optional[str] = None
+    #   replan_budgets: per-round phase budgets for corridor replans
+    #   (None = the cold phases' FULL budgets — the production
+    #   default; short schedules are explicit opt-in, see
+    #   qp/joint.REPLAN_BUDGETS_LARGE and the measured frontier in
+    #   benchmarks/replan256_chain_tpu.json)
+    replan_budgets: Optional[tuple] = None
+    #   replan_polish: warm polish extensions after each replan round
+    #   (None = auto, qp/joint.REPLAN_POLISH_LARGE for short-budget
+    #   big swarms)
+    replan_polish: Optional[int] = None
     #   polish_rounds: warm polish extensions after the cold solve
     #   (qp/joint ESCALATION_BUDGETS; x0-only updates on the resident
     #   operator) — how big swarms reach the 64-agent objective-margin

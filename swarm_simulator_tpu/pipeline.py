@@ -72,6 +72,8 @@ def plan(
         from .qp import joint
         joint.solve_trajectories(result, mission, param, phases=ns_phases,
                                  polish_rounds=param.polish_rounds,
+                                 replan_budgets=param.replan_budgets,
+                                 replan_polish=param.replan_polish,
                                  replan_prep=param.replan_prep,
                                  cold_prep=param.cold_prep)
         times.extra["ns_prep"] = result.solver_info["prep_s"]
