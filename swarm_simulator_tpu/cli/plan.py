@@ -95,6 +95,10 @@ def build_argparser() -> argparse.ArgumentParser:
                    default="auto",
                    help="joint-path corridor-replan prep (auto: device "
                         "on accelerators, fresh host prep on CPU)")
+    p.add_argument("--exact-polish", action="store_true",
+                   help="finish each joint solve/replan round with the "
+                        "host-f64 active-set polish (qp/activeset.py): "
+                        "KKT-certified exact optimum, CPLEX parity")
     p.add_argument("--dtype", choices=["float32", "float64"],
                    default="float32")
     p.add_argument("--max-iter", type=int, default=2000)
@@ -163,6 +167,7 @@ def main(argv=None) -> int:
             replan_polish=args.replan_polish,
             replan_prep=(None if args.replan_prep == "auto"
                          else args.replan_prep),
+            exact_polish=args.exact_polish,
             **over)
     else:
         param = sst.Param(
@@ -188,6 +193,7 @@ def main(argv=None) -> int:
         replan_polish=args.replan_polish,
         replan_prep=(None if args.replan_prep == "auto"
                      else args.replan_prep),
+        exact_polish=args.exact_polish,
         log=args.log,
         )
 

@@ -117,6 +117,12 @@ class Param:
     #   standard (benchmarks/oracle256_polish_tpu.json).  None = auto:
     #   qp/joint.polish_rounds_for_swarm (4 for >= 128 agents, else 0)
     polish_rounds: Optional[int] = None
+    #   exact_polish: host-f64 active-set polish of the final solution
+    #   of every joint solve/replan round (qp/activeset.py) — one
+    #   sparse KKT factorization on the ADMM-identified active set,
+    #   returning the KKT-certified exact optimum (CPLEX parity,
+    #   rbp_planner.hpp:158) when the certificate holds
+    exact_polish: bool = False
 
     @property
     def world_min(self) -> np.ndarray:

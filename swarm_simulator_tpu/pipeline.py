@@ -75,7 +75,8 @@ def plan(
                                  replan_budgets=param.replan_budgets,
                                  replan_polish=param.replan_polish,
                                  replan_prep=param.replan_prep,
-                                 cold_prep=param.cold_prep)
+                                 cold_prep=param.cold_prep,
+                                 exact_polish=param.exact_polish)
         times.extra["ns_prep"] = result.solver_info["prep_s"]
     else:
         seqbatch.solve_trajectories(result, mission, param, settings)

@@ -1,0 +1,556 @@
+"""Exact active-set polish: first-order solve -> true QP optimum.
+
+The reference solves every trajectory QP to OPTIMALITY with CPLEX
+(solveQP, rbp_planner.hpp:111-206, cplex.solve() at :158); the TPU
+path's ADMM reaches the safety gate fast but approaches the optimum
+only at rate O(1/k) — the measured 256-agent replan margins (1.37 at
+800 iterations, benchmarks/replan256_chain_tpu.json) are an ITERATION
+BUDGET wall, not a precision wall (benchmarks/precision_probe_cpu.json).
+
+This module closes that gap the way production QP codes do (OSQP's
+"solution polishing"): the ADMM solution identifies which constraints
+are ACTIVE; solving the equality-constrained QP on that active set is
+ONE sparse f64 KKT factorization and returns the EXACT optimum whenever
+the guess is right.  Wrong guesses are repaired by standard primal-dual
+active-set passes (drop rows with negative multipliers, add violated
+rows) and the result is accepted only when it is KKT-certified:
+stationarity + feasibility + nonnegative duals, checked independently.
+
+Space: the knot-state parametrization (qp/nullspace.py) — equalities
+(endpoint pins + C^phi continuity) are eliminated EXACTLY, so the KKT
+carries only the active inequalities over w in R^{B*3*(M-1)*phi}:
+~6x smaller than control-point space and with a block-tridiagonal
+reduced Hessian.  Every constraint row has <= 2*3*phi nonzeros in w.
+
+Degeneracy at shared SFC faces (duplicated knot rows whose boxes
+intersect to zero width, see assemble.KNOT_FACE_GUARD) is removed
+structurally: knot-position rows are UNIT vectors in w, duplicated
+(m,0)/(m-1,n) rows collapse to one canonical row with the intersected
+bounds, and zero-width intersections become equality rows (free-sign
+duals) instead of an ill-posed +e/-e pair.
+"""
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+import numpy as np
+import scipy.sparse as sp
+import scipy.sparse.linalg as spla
+
+from .assemble import BIG, QPData
+from .ipm import _knot_maps_np
+
+#: row-type tags for the canonical active-set encoding
+KEQ, KLO, KHI, ILO, IHI, PAIR = range(6)
+
+
+@dataclass
+class _Workspace:
+    """Problem-constant pieces built once per polish call (host f64)."""
+    B: int
+    M: int
+    n: int
+    phi: int
+    D: int
+    Mi: int
+    nw: int            # per agent-axis knot unknowns = Mi*phi
+    Lcoef: np.ndarray  # [D, phi] w-space row of each control point
+    Kblk: np.ndarray   # [D] knot block of each control point (-1 = pinned)
+    x_pin: np.ndarray  # [B, 3, D] particular solution (endpoint pins)
+    H_a: sp.csr_matrix  # [nw, nw] reduced Hessian block (same all b,k)
+    H_dense: np.ndarray
+    g: np.ndarray      # [B*3, nw] linear term
+    const: float       # objective constant from x_pin
+    lb: np.ndarray     # [B, 3, D] true bounds
+    ub: np.ndarray
+    # canonical knot-row bounds (duplicated (m,0)/(m-1,n) rows merged)
+    klo: np.ndarray    # [B, 3, Mi] effective lower bound of knot m=mi+1
+    khi: np.ndarray    # [B, 3, Mi]
+    kd0: np.ndarray    # [Mi] d index of (m, 0) for m = 1..M-1
+    # pair pieces
+    pair_n: np.ndarray     # [P, M, 3]
+    pair_rhs: np.ndarray   # [P, D]
+    pair_bi: np.ndarray
+    pair_bj: np.ndarray
+    pair_cand: np.ndarray  # [P, D] bool candidate rows (masked, deduped)
+    int_cand: np.ndarray   # [D] bool interior box-row candidates
+    eq_knot: np.ndarray    # [B, 3, Mi] bool zero-width knot faces
+    F0: np.ndarray         # [M, phi, phi] ctrl-pts -> knot-state maps
+
+
+def _build_workspace(data: QPData) -> _Workspace:
+    g64 = lambda a: np.asarray(a, np.float64)
+    lb, ub = g64(data.lb), g64(data.ub)
+    B, K3, D = lb.shape
+    Qseg = g64(data.Qseg)
+    M, npp, _ = Qseg.shape
+    n = npp - 1
+    Re = np.asarray(data.Aeq).shape[0]
+    phi = Re // (M + 1)
+    if npp != 2 * phi:
+        raise ValueError("active-set polish needs n+1 == 2*phi")
+    Mi = M - 1
+    nw = Mi * phi
+    dt = g64(data.dt)
+    L, R, F0, _ = _knot_maps_np(dt, n, phi)
+
+    # w-space row of each control point: x[m, i<phi] = L[m] @ knot_m,
+    # x[m, i>=phi] = R[m] @ knot_{m+1}; knots 0 and M are pinned
+    Lcoef = np.zeros((D, phi))
+    Kblk = np.full(D, -1, dtype=np.int64)
+    for m in range(M):
+        for i in range(npp):
+            d = m * npp + i
+            if i < phi:
+                if m >= 1:
+                    Lcoef[d] = L[m, i]
+                    Kblk[d] = m - 1
+            else:
+                if m <= M - 2:
+                    Lcoef[d] = R[m, i - phi]
+                    Kblk[d] = m
+    # knot-position rows are exactly unit vectors (position is the
+    # first knot-state component); pin them bitwise so the canonical
+    # knot rows below are consistent with the interior rows
+    for m in range(1, M):
+        Lcoef[m * npp] = 0.0
+        Lcoef[m * npp, 0] = 1.0
+        Lcoef[m * npp - 1] = 0.0
+        Lcoef[m * npp - 1, 0] = 1.0
+
+    # particular solution from the endpoint pins (interior knots = 0)
+    deq = g64(data.deq)
+    s_all = np.zeros((B, K3, M + 1, phi))
+    s_all[:, :, 0, :] = deq[:, :, :phi]
+    s_all[:, :, M, :] = deq[:, :, phi:2 * phi]
+    left = np.einsum("mij,bkmj->bkmi", L, s_all[:, :, :M])
+    right = np.einsum("mij,bkmj->bkmi", R, s_all[:, :, 1:])
+    x_pin = np.concatenate([left, right], axis=-1).reshape(B, K3, D)
+
+    # reduced Hessian block (identical for every agent/axis) + linear
+    # term g = N^T Q x_pin; objective = 1/2 w'Hw + g'w + const
+    N = np.zeros((D, nw))
+    nzr = Kblk >= 0
+    N[np.nonzero(nzr)[0][:, None],
+      (Kblk[nzr, None] * phi + np.arange(phi)[None, :])] = Lcoef[nzr]
+    import scipy.linalg as sla
+    Qbase = sla.block_diag(*[Qseg[m] for m in range(M)])
+    H_dense = N.T @ Qbase @ N
+    H_a = sp.csr_matrix(H_dense)
+    Qxp = np.einsum("ij,bkj->bki", Qbase, x_pin)
+    g = np.einsum("di,bkd->bki", N, Qxp).reshape(B * K3, nw)
+    const = 0.5 * float(np.einsum("bkd,bkd->", x_pin, Qxp))
+
+    # canonical knot-row bounds: intersect the duplicated rows
+    kd0 = np.arange(1, M) * npp           # d of (m, 0), m = 1..M-1
+    kdn = kd0 - 1                         # d of (m-1, n)
+    klo = np.maximum(lb[:, :, kd0], lb[:, :, kdn])
+    khi = np.minimum(ub[:, :, kd0], ub[:, :, kdn])
+    eq_knot = (khi - klo) <= 1e-7
+
+    # interior box-row candidates: i in 1..n-1, not endpoint-pinned
+    ii = np.arange(D) % npp
+    int_cand = (ii >= 1) & (ii <= n - 1) & (Kblk >= 0)
+
+    # pair candidates: real rows, not fully pinned, deduped where the
+    # (m,0) row repeats (m-1,n) with an identical normal
+    mask = np.asarray(data.pair_mask) > 0
+    pair_rhs = g64(data.pair_rhs)
+    pair_n = g64(data.pair_n)
+    P = pair_rhs.shape[0]
+    pair_cand = np.zeros((P, D), dtype=bool)
+    if P:
+        pair_cand[:] = mask[:, None] & (pair_rhs > -BIG / 2) & \
+            (Kblk >= 0)[None, :]
+        if M > 1:
+            same_n = np.all(pair_n[:, 1:] == pair_n[:, :-1], axis=-1)
+            pair_cand[:, kd0] &= ~same_n
+    return _Workspace(
+        B=B, M=M, n=n, phi=phi, D=D, Mi=Mi, nw=nw, Lcoef=Lcoef,
+        Kblk=Kblk, x_pin=x_pin, H_a=H_a, H_dense=H_dense, g=g,
+        const=const, lb=lb, ub=ub, klo=klo, khi=khi, kd0=kd0,
+        pair_n=pair_n, pair_rhs=pair_rhs,
+        pair_bi=np.asarray(data.pair_bi), pair_bj=np.asarray(data.pair_bj),
+        pair_cand=pair_cand, int_cand=int_cand, eq_knot=eq_knot, F0=F0)
+
+
+def _x_of_w(ws: _Workspace, w: np.ndarray) -> np.ndarray:
+    """w [B*3, nw] -> x [B, 3, D]."""
+    wv = w.reshape(ws.B * 3, ws.Mi, ws.phi)
+    x = ws.x_pin.reshape(ws.B * 3, ws.D).copy()
+    nz = np.nonzero(ws.Kblk >= 0)[0]
+    x[:, nz] += np.einsum("bdp,dp->bd", wv[:, ws.Kblk[nz]], ws.Lcoef[nz])
+    return x.reshape(ws.B, 3, ws.D)
+
+
+def _pair_slack(ws: _Workspace, x: np.ndarray) -> np.ndarray:
+    """[P, D] slack of n.(x_j - x_i) >= rhs (fixed sides folded in rhs)."""
+    if ws.pair_rhs.shape[0] == 0:
+        return np.zeros((0, ws.D))
+    npp = ws.n + 1
+    n_pd = np.repeat(ws.pair_n, npp, axis=1)          # [P, D, 3]
+    xb = x  # [B, 3, D]
+    xj = xb[np.clip(ws.pair_bj, 0, None)] * (ws.pair_bj >= 0)[:, None, None]
+    xi = xb[np.clip(ws.pair_bi, 0, None)] * (ws.pair_bi >= 0)[:, None, None]
+    lhs = np.einsum("pdk,pkd->pd", n_pd, xj - xi)
+    return lhs - ws.pair_rhs
+
+
+def _objective(ws: _Workspace, w: np.ndarray) -> float:
+    Hw = np.einsum("ij,bj->bi", ws.H_dense, w)
+    return float(0.5 * np.einsum("bi,bi->", w, Hw)
+                 + np.einsum("bi,bi->", ws.g, w) + ws.const)
+
+
+def _build_rows(ws: _Workspace, act: dict[int, np.ndarray]):
+    """Active-set -> (A csr [na, B*3*nw], b [na], is_eq [na])."""
+    rows_t = []
+    nw, phi, Mi, D = ws.nw, ws.phi, ws.Mi, ws.D
+    rr, cc, vv, bb, ee = [], [], [], [], []
+    r0 = 0
+    for t in (KEQ, KLO, KHI):
+        ids = act.get(t)
+        if ids is None or ids.size == 0:
+            continue
+        bk = ids // Mi
+        mi = ids % Mi
+        col = bk * nw + mi * phi
+        sgn = -1.0 if t == KHI else 1.0
+        rr.append(r0 + np.arange(ids.size))
+        cc.append(col)
+        vv.append(np.full(ids.size, sgn))
+        klo = ws.klo.reshape(-1, Mi)[bk, mi]
+        khi = ws.khi.reshape(-1, Mi)[bk, mi]
+        if t == KEQ:
+            bb.append(0.5 * (klo + khi))
+        elif t == KLO:
+            bb.append(klo)
+        else:
+            bb.append(-khi)
+        ee.append(np.full(ids.size, t == KEQ))
+        rows_t.append((t, ids))
+        r0 += ids.size
+    for t in (ILO, IHI):
+        ids = act.get(t)
+        if ids is None or ids.size == 0:
+            continue
+        bk = ids // D
+        d = ids % D
+        sgn = -1.0 if t == IHI else 1.0
+        cols = (bk[:, None] * nw + ws.Kblk[d][:, None] * phi
+                + np.arange(phi)[None, :])
+        rr.append(np.repeat(r0 + np.arange(ids.size), phi))
+        cc.append(cols.reshape(-1))
+        vv.append((sgn * ws.Lcoef[d]).reshape(-1))
+        xp = ws.x_pin.reshape(-1, D)[bk, d]
+        if t == ILO:
+            bb.append(ws.lb.reshape(-1, D)[bk, d] - xp)
+        else:
+            bb.append(xp - ws.ub.reshape(-1, D)[bk, d])
+        ee.append(np.zeros(ids.size, dtype=bool))
+        rows_t.append((t, ids))
+        r0 += ids.size
+    ids = act.get(PAIR)
+    if ids is not None and ids.size:
+        p = ids // D
+        d = ids % D
+        npp = ws.n + 1
+        m = d // npp
+        nvec = ws.pair_n[p, m]                       # [na, 3]
+        b_pair = ws.pair_rhs[p, d].copy()
+        base_cols = ws.Kblk[d][:, None] * phi + np.arange(phi)[None, :]
+        for side, b_of in ((+1.0, ws.pair_bj[p]), (-1.0, ws.pair_bi[p])):
+            inb = b_of >= 0
+            if not inb.any():
+                continue
+            for k in range(3):
+                sel = inb
+                bk = (b_of[sel] * 3 + k)
+                coef = side * nvec[sel, k:k + 1] * ws.Lcoef[d[sel]]
+                rr.append(np.repeat(r0 + np.nonzero(sel)[0], phi))
+                cc.append((bk[:, None] * nw + base_cols[sel]).reshape(-1))
+                vv.append(coef.reshape(-1))
+                b_pair[sel] -= (side * nvec[sel, k]
+                                * ws.x_pin.reshape(-1, D)[bk, d[sel]])
+        bb.append(b_pair)
+        ee.append(np.zeros(ids.size, dtype=bool))
+        rows_t.append((PAIR, ids))
+        r0 += ids.size
+    ntot = ws.B * 3 * nw
+    if r0 == 0:
+        return (sp.csr_matrix((0, ntot)), np.zeros(0),
+                np.zeros(0, dtype=bool), rows_t)
+    A = sp.csr_matrix(
+        (np.concatenate(vv), (np.concatenate(rr), np.concatenate(cc))),
+        shape=(r0, ntot))
+    return A, np.concatenate(bb), np.concatenate(ee), rows_t
+
+
+def _initial_active(ws: _Workspace, x: np.ndarray, eps: float):
+    """Activity guess from the first-order solution.  Where lo and hi
+    are both within eps (thin boxes), only the nearer side activates;
+    zero-width knot faces are equality rows."""
+    act: dict[int, np.ndarray] = {}
+    Mi = ws.Mi
+    kval = x[:, :, ws.kd0]
+    slo = (kval - ws.klo).reshape(-1)
+    shi = (ws.khi - kval).reshape(-1)
+    eq = ws.eq_knot.reshape(-1)
+    lo_a = (slo < eps) & ~eq & (slo <= shi)
+    hi_a = (shi < eps) & ~eq & (shi < slo)
+    act[KEQ] = np.nonzero(eq)[0]
+    act[KLO] = np.nonzero(lo_a)[0]
+    act[KHI] = np.nonzero(hi_a)[0]
+    islo = (x - ws.lb).reshape(-1, ws.D)[:, ws.int_cand]
+    ishi = (ws.ub - x).reshape(-1, ws.D)[:, ws.int_cand]
+    ids_base = (np.arange(ws.B * 3)[:, None] * ws.D
+                + np.nonzero(ws.int_cand)[0][None, :])
+    ilo_a = (islo < eps) & (islo <= ishi)
+    ihi_a = (ishi < eps) & (ishi < islo)
+    act[ILO] = ids_base[ilo_a]
+    act[IHI] = ids_base[ihi_a]
+    ps = _pair_slack(ws, x)
+    act[PAIR] = np.nonzero(((ps < eps) & ws.pair_cand).reshape(-1))[0]
+    return act
+
+
+def _violations(ws: _Workspace, x: np.ndarray):
+    """Most-negative slack per row type over the FULL constraint set."""
+    kval = x[:, :, ws.kd0]
+    slo = (kval - ws.klo).reshape(-1)
+    shi = (ws.khi - kval).reshape(-1)
+    eq = ws.eq_knot.reshape(-1)
+    islo = (x - ws.lb).reshape(-1)
+    ishi = (ws.ub - x).reshape(-1)
+    icand = np.tile(ws.int_cand, ws.B * 3)
+    ps = _pair_slack(ws, x).reshape(-1)
+    pc = ws.pair_cand.reshape(-1)
+    out = {
+        KLO: np.where(eq, np.inf, slo),
+        KHI: np.where(eq, np.inf, shi),
+        ILO: np.where(icand, islo, np.inf),
+        IHI: np.where(icand, ishi, np.inf),
+        PAIR: np.where(pc, ps, np.inf),
+    }
+    worst = min((float(v.min()) if v.size else 0.0)
+                for v in out.values())
+    return out, worst
+
+
+def _extract_w(ws: _Workspace, x: np.ndarray) -> np.ndarray:
+    """Interior knot states from a (possibly slightly eq-violating) x:
+    left-segment derivative states, w[m-1] = F0[m] @ x[m, :phi].
+    x_of_w(extract_w(x)) is the exact projection of x onto the
+    equality manifold along the left-state convention."""
+    npp = ws.n + 1
+    xs = np.asarray(x, np.float64).reshape(ws.B * 3, ws.M, npp)
+    w = np.einsum("mij,bmj->bmi", ws.F0[1:], xs[:, 1:, :ws.phi])
+    return w.reshape(ws.B * 3, ws.nw)
+
+
+def polish(data: QPData, x: np.ndarray, *, eps_act: float = 3e-3,
+           max_passes: int = 100, delta: float = 1e-9,
+           refine_steps: int = 2, verbose: bool = False):
+    """Active-set polish of a first-order solution.
+
+    A primal feasible active-set method on the reduced (equality-
+    eliminated) QP: every iterate is feasible and the objective is
+    monotonically non-increasing, so a pass cap still returns a valid
+    improvement; at natural termination the result carries an
+    independent KKT certificate (info["kkt_optimal"]) — the exact
+    optimum, what CPLEX returns (rbp_planner.hpp:158).
+
+    data: one batch QP (host leaves).  x: [B, 3, D] float64 primal
+    point (e.g. the ADMM solution).  Returns (x_out, info): x_out is
+    the certified optimum, else the best feasible improvement found,
+    else x unchanged (info["accepted"] False).
+    """
+    t0 = time.perf_counter()
+    x = np.asarray(x, np.float64)
+    ws = _build_workspace(data)
+    info: dict = {"accepted": False, "kkt_optimal": False, "passes": 0}
+    if ws.Mi == 0:
+        info["reason"] = "M=1: all control points pinned"
+        return x, info
+
+    Hs = sp.kron(sp.eye(ws.B * 3, format="csr"), ws.H_a, format="csr")
+    gf = ws.g.reshape(-1)
+    # objective of the INPUT point: evaluate in x-space (x may not be
+    # exactly representable as x_pin + N w if its equalities are
+    # slightly violated — the f32 solve's continuity error)
+    Qseg = np.asarray(data.Qseg, np.float64)
+    npp = ws.n + 1
+    xin_seg = x.transpose(0, 2, 1).reshape(ws.B, ws.M, npp, 3)
+    obj_in = 0.5 * float(np.einsum("bmik,mij,bmjk->", xin_seg, Qseg,
+                                   xin_seg))
+    _, worst_in = _violations(ws, x)
+
+    # diagnostic: violations no polish can fix (endpoint-pinned control
+    # points outside their boxes = an infeasible instance)
+    pinned = ws.Kblk < 0
+    pv = np.maximum(ws.lb[:, :, pinned] - ws.x_pin[:, :, pinned],
+                    ws.x_pin[:, :, pinned] - ws.ub[:, :, pinned])
+    info["pinned_box_viol"] = float(pv.max()) if pv.size else 0.0
+
+    # project the input onto the equality manifold; iterate in w space
+    w = _extract_w(ws, x).reshape(-1)
+    xt = _x_of_w(ws, w)
+    slk, _ = _violations(ws, xt)
+    act = _initial_active(ws, xt, eps_act)
+    scale = max(1.0, float(np.abs(x).max()))
+    ftol = 1e-9 * scale
+    ntot = ws.B * 3 * ws.nw
+    n_drop = n_add = n_factor = 0
+    certified = False
+    r_stat = np.inf
+    zero_steps = 0
+    for it in range(1, max_passes + 1):
+        info["passes"] = it
+        A, b, is_eq, rows_t = _build_rows(ws, act)
+        na = A.shape[0]
+        if na:
+            K = sp.bmat([[Hs, A.T],
+                         [A, -delta * sp.eye(na)]], format="csc")
+            rhs = np.concatenate([-gf, b])
+        else:
+            K = (Hs + delta * sp.eye(ntot)).tocsc()
+            rhs = -gf
+        try:
+            lu = spla.splu(K)
+        except RuntimeError as e:          # singular factor
+            info["reason"] = f"splu: {e}"
+            break
+        n_factor += 1
+        sol = lu.solve(rhs)
+        for _ in range(refine_steps):
+            if na:
+                rt = np.concatenate([
+                    -gf - (Hs @ sol[:ntot] + A.T @ sol[ntot:]),
+                    b - A @ sol[:ntot]])
+            else:
+                rt = -gf - Hs @ sol
+            if not np.isfinite(rt).all():
+                break
+            sol = sol + lu.solve(rt)
+        w_star = sol[:ntot]
+        lam = -sol[ntot:] if na else np.zeros(0)
+        if not np.isfinite(w_star).all():
+            info["reason"] = "non-finite KKT solution"
+            break
+        x_star = _x_of_w(ws, w_star)
+        sls, _ = _violations(ws, x_star)
+
+        # ratio test: largest step toward the EQP optimum keeping every
+        # candidate row feasible (slacks are affine in w)
+        alpha = 1.0
+        block: list[tuple[int, np.ndarray]] = []
+        for t, ss in sls.items():
+            st = slk[t]
+            exw = np.zeros(st.shape, dtype=bool)
+            ids = act.get(t)
+            if ids is not None and ids.size:
+                exw[ids] = True
+            dec = np.isfinite(st) & ~exw & (ss < -ftol)
+            if not dec.any():
+                continue
+            stp = np.maximum(st[dec], 0.0)
+            a_r = stp / (stp - ss[dec])
+            a_min = float(a_r.min())
+            if a_min < alpha - 1e-12:
+                alpha = max(a_min, 0.0)
+                block = [(t, np.nonzero(dec)[0][a_r <= a_min + 1e-12])]
+            elif a_min <= alpha + 1e-12:
+                block.append((t, np.nonzero(dec)[0][a_r <= a_min + 1e-12]))
+
+        if alpha < 1.0:
+            # step to the first blocking constraint and add it
+            if alpha <= 1e-14:
+                zero_steps += 1
+                if zero_steps > 4:
+                    info["reason"] = "degenerate zero-step cycle"
+                    break
+            else:
+                zero_steps = 0
+            w = w + alpha * (w_star - w)
+            for t in slk:
+                f = np.isfinite(slk[t])
+                slk[t][f] = ((1.0 - alpha) * slk[t][f]
+                             + alpha * sls[t][f])
+            added = 0
+            for t, ids in block:
+                act[t] = np.union1d(act.get(t, ids[:0]), ids)
+                added += int(ids.size)
+            n_add += added
+            if verbose:
+                print(f"  as pass {it}: na={na} alpha={alpha:.3e} "
+                      f"add={added} "
+                      f"obj={_objective(ws, w.reshape(-1, ws.nw)):.6f}")
+            continue
+
+        # full step accepted
+        w = w_star
+        slk = sls
+        zero_steps = 0
+        lam_tol = 1e-8 * max(1.0, float(np.abs(lam).max()) if na else 1.0)
+        neg = (lam < -lam_tol) & ~is_eq
+        if verbose:
+            print(f"  as pass {it}: na={na} alpha=1 neg={int(neg.sum())} "
+                  f"obj={_objective(ws, w.reshape(-1, ws.nw)):.6f}")
+        if not neg.any():
+            # clean set: certify stationarity of the full program
+            lam_c = np.where(is_eq, lam, np.maximum(lam, 0.0))
+            r_st = Hs @ w + gf - (A.T @ lam_c if na else 0.0)
+            r_stat = float(np.abs(r_st).max())
+            gscale = max(1.0, float(np.abs(gf).max()))
+            certified = r_stat < 1e-6 * gscale
+            info["n_active"] = int(na)
+            break
+        # drop negative-dual rows (all at first; single most-negative
+        # once the pass budget tightens, the safe classical rule)
+        if it > max_passes - 20:
+            worst_r = int(np.argmin(np.where(is_eq, np.inf, lam)))
+            neg = np.zeros_like(neg)
+            neg[worst_r] = True
+        off = 0
+        dropped = 0
+        for t, ids in rows_t:
+            nt = ids.size
+            bad = neg[off:off + nt]
+            if bad.any():
+                act[t] = ids[~bad]
+                dropped += int(bad.sum())
+            off += nt
+        n_drop += dropped
+
+    xw = _x_of_w(ws, w)
+    viol, worst = _violations(ws, xw)
+    obj_w = _objective(ws, w.reshape(-1, ws.nw))
+    info.update(n_drop=n_drop, n_add=n_add, n_factor=n_factor,
+                obj_in=obj_in, worst_slack_in=worst_in, obj_out=obj_w,
+                worst_slack_out=worst, r_stat=r_stat,
+                t_s=time.perf_counter() - t0)
+    info.setdefault("n_active", int(sum(v.size for v in act.values())))
+    # accept a CERTIFIED point unconditionally (it is the optimum of
+    # the true program; a slightly-infeasible input can report a lower
+    # objective than any feasible point), otherwise only a feasible
+    # genuine improvement over the input
+    if (worst > -1e-6 * scale
+            and (certified
+                 or obj_w <= obj_in + 1e-9 * max(1.0, abs(obj_in)))):
+        info["accepted"] = True
+        info["kkt_optimal"] = certified
+        return xw, info
+    info["reason"] = info.get(
+        "reason", "polished objective above input"
+        if worst > -1e-6 * scale else "infeasible final iterate")
+    return x, info
+
+
+def polish_ctrl(data: QPData, ctrl: np.ndarray, **kw):
+    """Control-point layout wrapper: ctrl [B, M, n+1, 3] <-> x [B,3,D]."""
+    B, M, npp, _ = ctrl.shape
+    x = np.asarray(ctrl, np.float64).reshape(B, M * npp, 3)
+    x = x.transpose(0, 2, 1)
+    x_out, info = polish(data, x, **kw)
+    return x_out.transpose(0, 2, 1).reshape(B, M, npp, 3), info

@@ -333,9 +333,19 @@ def solve_trajectories(plan: PlanResult, mission: Mission, param: Param,
                        cold_prep: str = "host",
                        dummy: np.ndarray | None = None,
                        polish_rounds: int | None = None,
+                       exact_polish: bool = False,
                        ) -> PlanResult:
     """Pipeline entry for Param.solver == "nullspace": fills plan.ctrl /
     plan.coef / plan.solver_info like seqbatch.solve_trajectories.
+
+    exact_polish: finish every round (cold solve and each replan) with
+    the host-f64 ACTIVE-SET polish (qp/activeset.py): the ADMM-
+    identified active set defines an equality-constrained QP solved by
+    one sparse KKT factorization — the KKT-certified EXACT optimum when
+    the certificate holds, i.e. what CPLEX returns every solve
+    (rbp_planner.hpp:158).  The polish only ever replaces the solution
+    with a feasible, certified-or-improving point; its cost and
+    certificate land in plan.solver_info["exact_polish"].
 
     polish_rounds None = auto (polish_rounds_for_swarm: 4 for >= 128
     agents, 0 below).  > 0 runs warm polish extensions after the cold
@@ -439,8 +449,17 @@ def solve_trajectories(plan: PlanResult, mission: Mission, param: Param,
                                 op_d, ph)
         return convert.x_to_ctrl(np.asarray(x, np.float64), M, n), info
 
+    def run_exact_polish(data_h, ctrl_in):
+        from . import activeset
+        ctrl2, ainfo = activeset.polish_ctrl(data_h, ctrl_in)
+        keep = {k: ainfo.get(k) for k in (
+            "accepted", "kkt_optimal", "passes", "n_active", "obj_in",
+            "obj_out", "worst_slack_out", "pinned_box_viol", "t_s")}
+        return np.asarray(ctrl2, np.float64), keep
+
     ctrl, info = run(data, op_dev, phases)
 
+    as_info = None
     polish_s = 0.0
     if polish_rounds:
         # warm polish extensions: same problem, same device-resident
@@ -457,6 +476,9 @@ def solve_trajectories(plan: PlanResult, mission: Mission, param: Param,
             x, info = _run_schedule(data_dev, op_dev, pphases)
             ctrl = convert.x_to_ctrl(np.asarray(x, np.float64), M, n)
             polish_s += time.perf_counter() - t0
+
+    if exact_polish:
+        ctrl, as_info = run_exact_polish(data, ctrl)
 
     replan_rounds = 0
 
@@ -540,6 +562,8 @@ def solve_trajectories(plan: PlanResult, mission: Mission, param: Param,
                         ctrl.reshape(N, M * (n + 1), 3).transpose(
                             0, 2, 1), np.float32))
                 ctrl, info = run(data, op_dev, rpol_phases)
+            if exact_polish:
+                ctrl, as_info = run_exact_polish(data, ctrl)
             replan_rounds += 1
 
     plan.ctrl = ctrl
@@ -566,4 +590,6 @@ def solve_trajectories(plan: PlanResult, mission: Mission, param: Param,
         "replan_rounds": replan_rounds,
         "problem_size": str(psize),
     }
+    if as_info is not None:
+        plan.solver_info["exact_polish"] = as_info
     return plan

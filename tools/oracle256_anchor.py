@@ -127,19 +127,22 @@ def main():
             kkt_verified={k: float(v) for k, v in ver.items()}
             if isinstance(ver, dict) else True))
 
-    out = dict(
-        agents=N, M=int(M), pairs=int(len(plan.pair_idx)),
-        note=("32-agent full-joint f64 IPM best-response anchors at "
-              "256-agent density; production path = the DEFAULT "
-              "solve_trajectories recipe (auto polish)"),
-        gate_ok=bool(ok), ratio=round(m["ratio"], 4),
-        solve_s=round(t_solve, 1),
-        polish_rounds=plan.solver_info["polish_rounds"],
-        anchors=rows,
-        worst_margin=max(r["margin"] for r in rows))
-    os.makedirs("benchmarks", exist_ok=True)
-    with open(args.out, "w") as f:
-        json.dump(out, f, indent=1)
+        # incremental write: each finished group is a committed-quality
+        # anchor on its own; a wall-clock cap mid-study keeps the rows
+        # already solved
+        out = dict(
+            agents=N, M=int(M), pairs=int(len(plan.pair_idx)),
+            note=("32-agent full-joint f64 IPM best-response anchors at "
+                  "256-agent density; production path = the DEFAULT "
+                  "solve_trajectories recipe (auto polish)"),
+            gate_ok=bool(ok), ratio=round(m["ratio"], 4),
+            solve_s=round(t_solve, 1),
+            polish_rounds=plan.solver_info["polish_rounds"],
+            anchors=rows,
+            worst_margin=max(r["margin"] for r in rows))
+        os.makedirs("benchmarks", exist_ok=True)
+        with open(args.out, "w") as f:
+            json.dump(out, f, indent=1)
     print(json.dumps(out))
 
 
