@@ -93,6 +93,13 @@ def main():
                     help="after the chain rounds, run one full-budget "
                          "solve on the final corridors and measure its "
                          "margins (the cold-standard check)")
+    ap.add_argument("--exact", action="store_true",
+                    help="round-5: finish every round (and the cold "
+                         "solve) with the host-f64 active-set polish "
+                         "(qp/activeset.py) — KKT-certified exact "
+                         "optimum; measures its cost and what the "
+                         "rotating best-response margins become when "
+                         "the solution IS the optimum")
     ap.add_argument("--out", default="benchmarks/replan256_chain_tpu.json")
     args = ap.parse_args()
     arms = parse_arms(args.arms) if args.arms else ARMS
@@ -180,6 +187,25 @@ def main():
     obj0 = float(np.asarray(info.obj)[()] if np.ndim(info.obj) else
                  info.obj)
     log(f"cold+polish({args.polish}): {t_cold:.1f}s obj={obj0:.3f}")
+    exact_cold = None
+    if args.exact:
+        from swarm_simulator_tpu.qp import activeset
+        t0 = time.perf_counter()
+        ctrl0_p, ai = activeset.polish_ctrl(data0, ctrl0)
+        t_exact0 = time.perf_counter() - t0
+        log(f"cold exact-polish: {t_exact0:.1f}s "
+            f"passes={ai['passes']} active={ai.get('n_active')} "
+            f"certified={ai.get('kkt_optimal')} accepted={ai['accepted']} "
+            f"obj {ai['obj_in']:.3f} -> {ai.get('obj_out', -1):.3f}")
+        if ai["accepted"]:
+            ctrl0 = np.asarray(ctrl0_p, np.float64)
+        exact_cold = dict(
+            exact_s=round(t_exact0, 2), passes=ai["passes"],
+            n_active=ai.get("n_active"),
+            accepted=bool(ai["accepted"]),
+            certified=bool(ai.get("kkt_optimal")),
+            obj_in=round(ai["obj_in"], 4),
+            obj_out=round(ai.get("obj_out", float("nan")), 4))
     state0 = jax.tree.map(jnp.asarray, state0)   # device-resident
     op0 = None
 
@@ -234,8 +260,30 @@ def main():
                 x = np.asarray(xj, np.float64)
             cyc = time.perf_counter() - t0
             ctrl = convert.x_to_ctrl(x, M, n)
+            exact_row = None
+            if args.exact:
+                from swarm_simulator_tpu.qp import activeset
+                t1 = time.perf_counter()
+                ctrl_p, ai = activeset.polish_ctrl(data_r, ctrl)
+                t_exact = time.perf_counter() - t1
+                if ai["accepted"]:
+                    ctrl = np.asarray(ctrl_p, np.float64)
+                exact_row = dict(
+                    exact_s=round(t_exact, 2), passes=ai["passes"],
+                    n_active=ai.get("n_active"),
+                    accepted=bool(ai["accepted"]),
+                    certified=bool(ai.get("kkt_optimal")),
+                    obj_in=round(ai["obj_in"], 4),
+                    obj_out=round(ai.get("obj_out", float("nan")), 4))
+                log(f"  exact-polish: {t_exact:.1f}s "
+                    f"passes={ai['passes']} "
+                    f"active={ai.get('n_active')} "
+                    f"certified={ai.get('kkt_optimal')} "
+                    f"obj {ai['obj_in']:.3f} -> "
+                    f"{ai.get('obj_out', -1):.3f}")
             tag = (f"{warm} {budgets} refine={refine}"
                    + (f" polish={round_polish}" if round_polish else "")
+                   + (" +exact" if args.exact else "")
                    + f" round {r + 1}")
             ok, m, margins, worst = measure(ctrl, tag)
             obj = float(np.asarray(info.obj))
@@ -246,7 +294,7 @@ def main():
                 ratio=round(m["ratio"], 4), obj=round(obj, 4),
                 iters=int(np.asarray(info.iters)),
                 margins={str(k): v for k, v in margins.items()},
-                worst_margin=worst))
+                worst_margin=worst, exact=exact_row))
         if args.final_polish:
             # does chain + one full-budget polish reach the cold
             # standard (1.24-class margin) on the final corridors?
@@ -296,6 +344,7 @@ def main():
 
     out = dict(agents=N, M=int(M), pairs=int(len(plan.pair_idx)),
                cold_s=round(t_cold, 1), cold_obj=round(obj0, 4),
+               exact_cold=exact_cold,
                margin_pre={str(k): v for k, v in margins_pre.items()},
                worst_margin_pre=worst_pre,
                arms=arm_rows, licensed=licensed)
