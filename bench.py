@@ -255,7 +255,7 @@ def oracle_batch(seed: int, n_batches: int) -> int:
 
 
 def ipm_best_response_batch0(plan, mission, param, final_ctrl,
-                             b_idx: int = 0):
+                             b_idx: int = 0, pair_relax: float = 0.0):
     """f64 IPM optimum of batch b_idx's best-response QP: its 4 agents
     free, everyone else fixed at OUR final trajectories (the pair rhs
     refreshed from them).  The per-solve quality yardstick and the
@@ -285,6 +285,15 @@ def ipm_best_response_batch0(plan, mission, param, final_ctrl,
     lb_r, ub_r = assemble.relax_thin_knot_rows(data0.lb, data0.ub,
                                                param.n)
     data0 = _dc.replace(data0, lb=lb_r, ub=ub_r)
+    if pair_relax:
+        # an EXACT-optimal final_ctrl can leave pair rows with zero
+        # slack against the fixed neighbors — the barrier then has no
+        # strict interior and the Cholesky escalation dies.  A 1e-6
+        # relaxation biases obj_ref DOWN (margins read conservatively
+        # high); callers evaluating active-set-polished solutions pass
+        # it on retry
+        data0 = _dc.replace(data0, pair_rhs=np.asarray(data0.pair_rhs)
+                            - pair_relax)
     t0 = time.perf_counter()
     res = ipm.solve_ipm_reduced(data0)
     dt = time.perf_counter() - t0

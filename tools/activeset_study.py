@@ -86,8 +86,16 @@ def main():
             ok, m = bench.gate_quality(c, plan, mission, param)
             obj_b0, _ = bench.batch0_objective(c, plan, mission, param,
                                                b_idx)
-            obj_ref, _ = bench.ipm_best_response_batch0(
-                plan, mission, param, c, b_idx)
+            try:
+                obj_ref, _ = bench.ipm_best_response_batch0(
+                    plan, mission, param, c, b_idx)
+            except np.linalg.LinAlgError:
+                # zero-slack pair rows against an exact-optimal c leave
+                # the barrier no interior; retry with a 1e-6 relaxation
+                # (biases obj_ref down -> margin conservatively HIGH)
+                obj_ref, _ = bench.ipm_best_response_batch0(
+                    plan, mission, param, c, b_idx, pair_relax=1e-6)
+                tag += " (relaxed-oracle)"
             mg = obj_b0 / obj_ref
             log(f"seed {seed} {tag}: gate={'OK' if ok else 'FAIL'} "
                 f"ratio={m['ratio']:.4f} margin(b{b_idx})={mg:.4f}")

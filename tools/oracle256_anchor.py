@@ -40,6 +40,12 @@ def main():
     ap.add_argument("--group-size", type=int, default=32)
     ap.add_argument("--cpu", action="store_true",
                     help="solve the production joint on CPU too")
+    ap.add_argument("--method", choices=["activeset", "ipm"],
+                    default="activeset",
+                    help="exact best-response solver: the active-set "
+                         "polish (qp/activeset.py — minutes, certified"
+                         ") or the f64 barrier (hours at this size: a "
+                         "6600 s run died inside group 0's solve)")
     ap.add_argument("--out", default="benchmarks/oracle256_anchor.json")
     args = ap.parse_args()
 
@@ -108,33 +114,51 @@ def main():
                          * 0.5)
 
         t0 = time.perf_counter()
-        res = ipm.solve_ipm_reduced(data_g, max_iter=120)
-        t_ipm = time.perf_counter() - t0
-        ver = ipm.verify_optimal(data_g, res, tol=1e-5)
-        Q, E, d_, C, c_, _ = ipm.build_flat(data_g)
-        xo = res.x.reshape(-1)
-        obj_ref = float(0.5 * xo @ (Q @ xo))
-        margin = obj_ours / obj_ref
+        if args.method == "ipm":
+            res = ipm.solve_ipm_reduced(data_g, max_iter=120)
+            t_ref = time.perf_counter() - t0
+            ver = ipm.verify_optimal(data_g, res, tol=1e-5)
+            Q, E, d_, C, c_, _ = ipm.build_flat(data_g)
+            xo = res.x.reshape(-1)
+            obj_ref = float(0.5 * xo @ (Q @ xo))
+            detail = dict(ipm_iters=int(res.iters), ipm_mu=float(res.mu),
+                          kkt_verified={k: float(v)
+                                        for k, v in ver.items()}
+                          if isinstance(ver, dict) else True)
+        else:
+            from swarm_simulator_tpu.qp import activeset
+            cg_p, ai = activeset.polish_ctrl(data_g, cg,
+                                             max_passes=300)
+            t_ref = time.perf_counter() - t0
+            if not ai["accepted"]:
+                log(f"group {start}: polish rejected ({ai.get('reason')})"
+                    " — keeping obj_ours as obj_ref bound")
+            obj_ref = float(ai.get("obj_out", obj_ours))
+            detail = dict(
+                as_passes=ai["passes"], as_active=ai.get("n_active"),
+                as_certified=bool(ai.get("kkt_optimal")),
+                as_accepted=bool(ai["accepted"]),
+                as_r_stat=float(ai.get("r_stat", float("inf"))),
+                as_worst_slack=float(ai.get("worst_slack_out", 0.0)))
+        margin = obj_ours / obj_ref if obj_ref > 0 else float("nan")
         log(f"group {start}..{start + G - 1}: ours={obj_ours:.4f} "
-            f"ipm={obj_ref:.4f} margin={margin:.4f} "
-            f"({t_ipm / 60:.1f} min, {res.iters} IPM iters, "
-            f"mu={res.mu:.1e})")
+            f"ref={obj_ref:.4f} margin={margin:.4f} "
+            f"({t_ref / 60:.1f} min, {args.method})")
         rows.append(dict(
-            group_start=int(start), group_size=G,
-            obj_ours=round(obj_ours, 5), obj_ipm=round(obj_ref, 5),
-            margin=round(margin, 4), ipm_minutes=round(t_ipm / 60, 1),
-            ipm_iters=int(res.iters), ipm_mu=float(res.mu),
-            kkt_verified={k: float(v) for k, v in ver.items()}
-            if isinstance(ver, dict) else True))
+            group_start=int(start), group_size=G, method=args.method,
+            obj_ours=round(obj_ours, 5), obj_ref=round(obj_ref, 5),
+            margin=round(margin, 4), ref_minutes=round(t_ref / 60, 1),
+            **detail))
 
         # incremental write: each finished group is a committed-quality
         # anchor on its own; a wall-clock cap mid-study keeps the rows
         # already solved
         out = dict(
             agents=N, M=int(M), pairs=int(len(plan.pair_idx)),
-            note=("32-agent full-joint f64 IPM best-response anchors at "
-                  "256-agent density; production path = the DEFAULT "
-                  "solve_trajectories recipe (auto polish)"),
+            note=(f"{G}-agent full-joint exact best-response anchors "
+                  f"({args.method}) at 256-agent density; production "
+                  "path = the DEFAULT solve_trajectories recipe "
+                  "(auto polish)"),
             gate_ok=bool(ok), ratio=round(m["ratio"], 4),
             solve_s=round(t_solve, 1),
             polish_rounds=plan.solver_info["polish_rounds"],
