@@ -314,40 +314,6 @@ def _initial_active(ws: _Workspace, x: np.ndarray, eps: float):
     act[PAIR] = np.nonzero(((ps < eps) & ws.pair_cand).reshape(-1))[0]
     return act
 
-
-def _hint_active(ws: _Workspace, act: dict[int, np.ndarray],
-                 y_box: np.ndarray, y_pair: np.ndarray):
-    """Union the ADMM's DUAL state into the activity guess: a nonzero
-    multiplier marks a row the solver is pushing against even when the
-    primal has not yet reached the face (the measured slack-only guess
-    misses a ~250-row tail at 64 agents, one factorization each).
-    Convention (OSQP scaled duals): y > 0 binds the upper bound,
-    y < 0 the lower."""
-    Mi, D, npp = ws.Mi, ws.D, ws.n + 1
-    yb = np.asarray(y_box, np.float64).reshape(-1, D)
-    yp = np.asarray(y_pair, np.float64).reshape(-1)
-    tol = 1e-7 * max(1.0, float(np.abs(yb).max()),
-                     float(np.abs(yp).max()) if yp.size else 1.0)
-    eq = ws.eq_knot.reshape(-1)
-    # knot rows: duplicated (m,0)/(m-1,n) duals combine by sum
-    kd0 = ws.kd0
-    ysum = yb[:, kd0] + yb[:, kd0 - 1]            # [B3, Mi]
-    klo = (ysum < -tol).reshape(-1) & ~eq
-    khi = (ysum > tol).reshape(-1) & ~eq
-    act[KLO] = np.union1d(act[KLO], np.nonzero(klo)[0])
-    act[KHI] = np.union1d(act[KHI], np.nonzero(khi)[0])
-    ic = ws.int_cand
-    ids = (np.arange(yb.shape[0])[:, None] * D
-           + np.nonzero(ic)[0][None, :])
-    act[ILO] = np.union1d(act[ILO], ids[yb[:, ic] < -tol])
-    act[IHI] = np.union1d(act[IHI], ids[yb[:, ic] > tol])
-    if yp.size:
-        pc = ws.pair_cand.reshape(-1)
-        act[PAIR] = np.union1d(act[PAIR],
-                               np.nonzero((np.abs(yp) > tol) & pc)[0])
-    return act
-
-
 def _violations(ws: _Workspace, x: np.ndarray):
     """Most-negative slack per row type over the FULL constraint set."""
     kval = x[:, :, ws.kd0]
@@ -510,7 +476,7 @@ def _extract_w(ws: _Workspace, x: np.ndarray) -> np.ndarray:
 
 def polish(data: QPData, x: np.ndarray, *, eps_act: float = 3e-3,
            max_passes: int = 100, delta: float = 1e-9,
-           refine_steps: int = 2, y_hint=None, barrier: bool = True,
+           refine_steps: int = 2, barrier: bool = True,
            cand_radius: float = 0.1, verbose: bool = False):
     """Active-set polish of a first-order solution.
 
@@ -556,8 +522,6 @@ def polish(data: QPData, x: np.ndarray, *, eps_act: float = 3e-3,
     xt = _x_of_w(ws, w)
     slk, _ = _violations(ws, xt)
     act = _initial_active(ws, xt, eps_act)
-    if y_hint is not None:
-        act = _hint_active(ws, act, y_hint[0], y_hint[1])
     scale = max(1.0, float(np.abs(x).max()))
     Hs = sp.kron(sp.eye(ws.B * 3, format="csr"), ws.H_a, format="csr")
     gf = ws.g.reshape(-1)
